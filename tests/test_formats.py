@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+from tpu_spmv.formats.csr import CSRMatrix
+
+
+def test_from_coo_dedup():
+    rows = [0, 0, 1, 1, 1]
+    cols = [0, 0, 1, 2, 2]
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    mat = CSRMatrix.from_coo(rows, cols, vals, (2, 3))
+    dense = mat.to_dense()
+    assert dense[0, 0] == 3.0
+    assert dense[1, 1] == 3.0
+    assert dense[1, 2] == 9.0
+    assert mat.nnz == 3
+
+
+def test_matvec_matches_dense():
+    mat = random_general(200, 6, seed=3)
+    x = np.random.default_rng(0).standard_normal(200).astype(np.float32)
+    y = mat.matvec(x)
+    y_ref = mat.to_dense() @ x
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_matvec_empty_rows():
+    mat = CSRMatrix.from_coo([0, 2], [1, 0], [2.0, 3.0], (3, 2))
+    y = mat.matvec(np.array([1.0, 10.0], np.float32))
+    np.testing.assert_allclose(y, [20.0, 0.0, 3.0])
+
+
+def test_permuted_round_trip():
+    mat = random_banded(300, 20, 8, seed=4)
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(300)
+    pm = mat.permuted(perm)
+    # Dense check: pm == A[perm][:, perm]
+    dense = mat.to_dense()
+    np.testing.assert_allclose(pm.to_dense(), dense[np.ix_(perm, perm)])
+    # Columns sorted ascending per row
+    for i in range(pm.m):
+        cols = pm.indices[pm.indptr[i] : pm.indptr[i + 1]]
+        assert (np.diff(cols) > 0).all()
+
+
+def test_permuted_spmv_equivalence():
+    """y_perm[i] == y[perm[i]] — the reference's validation identity
+    (spmv-csrk/spmv.cpp:202-209)."""
+    mat = random_banded(500, 30, 10, seed=5)
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(500)
+    x = rng.standard_normal(500).astype(np.float32)
+    pm = mat.permuted(perm)
+    y_perm = pm.matvec(x[perm])
+    y = mat.matvec(x)
+    np.testing.assert_allclose(y_perm, y[perm], rtol=1e-4, atol=1e-4)
+
+
+def test_stats_keys():
+    mat = laplacian_2d(16)
+    s = mat.stats()
+    assert s["total_nnz"] == mat.nnz
+    assert s["nnz_max"] == 5
+    assert s["nnz_min"] == 3
+    assert s["band_max"] == 32  # row-major 2D stencil band = 2*nx
+
+
+@pytest.mark.parametrize("m,n", [(5, 7), (1, 1)])
+def test_shape_validation(m, n):
+    with pytest.raises(ValueError):
+        CSRMatrix(np.zeros(m, np.int32), np.zeros(0, np.int32),
+                  np.zeros(0, np.float32), (m, n))

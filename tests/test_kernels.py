@@ -1,0 +1,28 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
+
+
+def _rel_l2(a, b):
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+def test_segsum_matches_oracle():
+    for mat in [laplacian_2d(32), random_banded(1000, 40, 8, seed=1),
+                random_general(500, 6, seed=2)]:
+        x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+        layout = SegsumLayout.from_csr(mat)
+        y = np.asarray(spmv_segsum(layout, jnp.asarray(x)))
+        y_ref = mat.matvec(x)
+        assert _rel_l2(y, y_ref) < 1e-6, _rel_l2(y, y_ref)
+
+
+def test_segsum_empty_rows():
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    mat = CSRMatrix.from_coo([0, 2], [1, 0], [2.0, 3.0], (3, 2))
+    layout = SegsumLayout.from_csr(mat)
+    y = np.asarray(spmv_segsum(layout, jnp.array([1.0, 10.0], jnp.float32)))
+    np.testing.assert_allclose(y, [20.0, 0.0, 3.0])

@@ -1,0 +1,132 @@
+"""Synthetic benchmark matrices.
+
+The reference benchmarks SuiteSparse matrices staged under ~/matrices
+(names recoverable from helpers/params.txt:1-123: thermal2, ecology1,
+G3_circuit, bmwcra_1, delaunay_n20, roadNet-TX, ...). Those files are not
+redistributable inside this repo, so we generate structurally analogous
+families offline:
+
+  * laplacian_2d/3d  — 5/7-point stencils (ecology1, G3_circuit, thermal2
+    class): symmetric, ~5-7 nnz/row, banded after RCM.
+  * random_banded    — random symmetric matrices with controlled bandwidth
+    and nnz/row (FEM-like: bmwcra_1, Emilia_923 class).
+  * random_general   — scattered symmetric pattern (delaunay/roadNet class,
+    stresses the reorderer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_spmv.formats.csr import CSRMatrix
+
+
+def laplacian_2d(nx: int, ny: int | None = None) -> CSRMatrix:
+    """5-point Laplacian on an nx-by-ny grid, natural (row-major) order."""
+    ny = ny or nx
+    idx = np.arange(nx * ny, dtype=np.int64).reshape(nx, ny)
+    rows, cols, vals = [], [], []
+
+    def add(r, c, v):
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(np.full(r.size, v, dtype=np.float32))
+
+    add(idx, idx, 4.0)
+    add(idx[1:, :], idx[:-1, :], -1.0)
+    add(idx[:-1, :], idx[1:, :], -1.0)
+    add(idx[:, 1:], idx[:, :-1], -1.0)
+    add(idx[:, :-1], idx[:, 1:], -1.0)
+    return CSRMatrix.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        (nx * ny, nx * ny),
+    )
+
+
+def laplacian_3d(nx: int, ny: int | None = None, nz: int | None = None) -> CSRMatrix:
+    """7-point Laplacian on an nx*ny*nz grid."""
+    ny = ny or nx
+    nz = nz or nx
+    idx = np.arange(nx * ny * nz, dtype=np.int64).reshape(nx, ny, nz)
+    rows, cols, vals = [], [], []
+
+    def add(r, c, v):
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(np.full(r.size, v, dtype=np.float32))
+
+    add(idx, idx, 6.0)
+    for axis in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(1, None)
+        hi[axis] = slice(None, -1)
+        add(idx[tuple(lo)], idx[tuple(hi)], -1.0)
+        add(idx[tuple(hi)], idx[tuple(lo)], -1.0)
+    n = nx * ny * nz
+    return CSRMatrix.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (n, n)
+    )
+
+
+def random_banded(
+    m: int, band: int, avg_nnz_per_row: float, seed: int = 0,
+    diagonally_dominant: bool = True,
+) -> CSRMatrix:
+    """Random symmetric matrix with |i-j| <= band and ~avg_nnz_per_row."""
+    rng = np.random.default_rng(seed)
+    per_row = max(int(avg_nnz_per_row) // 2, 1)  # half above, mirrored below
+    rows = np.repeat(np.arange(m, dtype=np.int64), per_row)
+    offsets = rng.integers(0, band + 1, size=rows.shape[0])
+    cols = np.minimum(rows + offsets, m - 1)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    # Symmetrize + ensure a full diagonal.
+    all_rows = np.concatenate([rows, cols, np.arange(m, dtype=np.int64)])
+    all_cols = np.concatenate([cols, rows, np.arange(m, dtype=np.int64)])
+    diag = (
+        np.full(m, avg_nnz_per_row + 1.0, dtype=np.float32)
+        if diagonally_dominant
+        else rng.standard_normal(m).astype(np.float32)
+    )
+    all_vals = np.concatenate([vals, vals, diag])
+    return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
+
+
+def random_general(m: int, avg_nnz_per_row: float, seed: int = 0) -> CSRMatrix:
+    """Random symmetric pattern with no band structure (reorderer stress)."""
+    rng = np.random.default_rng(seed)
+    per_row = max(int(avg_nnz_per_row) // 2, 1)
+    rows = np.repeat(np.arange(m, dtype=np.int64), per_row)
+    cols = rng.integers(0, m, size=rows.shape[0])
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    all_rows = np.concatenate([rows, cols, np.arange(m, dtype=np.int64)])
+    all_cols = np.concatenate([cols, rows, np.arange(m, dtype=np.int64)])
+    all_vals = np.concatenate([vals, vals, np.ones(m, dtype=np.float32)])
+    return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
+
+
+def suite(scale: str = "small") -> dict:
+    """Named matrix families mirroring the reference's benchmark set roles."""
+    if scale == "tiny":
+        return {
+            "lap2d_32": laplacian_2d(32),
+            "banded_1k": random_banded(1000, 40, 8, seed=1),
+            "general_1k": random_general(1000, 6, seed=2),
+        }
+    if scale == "small":
+        return {
+            "lap2d_256": laplacian_2d(256),
+            "lap3d_32": laplacian_3d(32),
+            "banded_100k": random_banded(100_000, 500, 16, seed=1),
+            "general_50k": random_general(50_000, 8, seed=2),
+        }
+    if scale == "bench":
+        # Sized like the reference's mid/large SuiteSparse set
+        # (thermal2 ~1.2M rows/8.5M nnz, ecology1 1M/5M, G3_circuit 1.5M/7.6M).
+        return {
+            "lap2d_1024": laplacian_2d(1024),            # 1.05M rows, 5.2M nnz
+            "lap3d_101": laplacian_3d(101),              # 1.03M rows, 7.2M nnz
+            "banded_1m": random_banded(1_000_000, 1000, 16, seed=1),
+            "general_500k": random_general(500_000, 10, seed=2),
+        }
+    raise ValueError(f"unknown scale {scale!r}")

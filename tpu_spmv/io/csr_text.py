@@ -1,0 +1,114 @@
+"""Reference-compatible .csr / .csr3 text formats.
+
+The reference pipeline persists matrices as whitespace-separated text:
+
+  .csr   "m n nnz" then m+1 row pointers, nnz column indices, nnz values
+         (written 0-based by helpers/converter.m:25-49 via sparse2csr.m:5-6;
+         the plain-CSR readers consume it as-is, spmv-csr/spmv.c:11-57, while
+         the CSR-k readers subtract 1 expecting 1-based input,
+         spmv-csrk/spmv.cpp:32-79 — we autodetect and normalize to 0-based).
+
+  .csr3  "numCoarsestRows numCoarserRows m n nnz" then the coarsest and
+         coarser super-row pointer arrays, then r/c/val
+         (reformat-csr-to-csr3/spmv-auto.cpp:30-65).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_spmv.formats.csr import CSRMatrix
+
+
+def _read_tokens(path):
+    with open(path) as f:
+        return f.read().split()
+
+
+def _detect_base(indptr: np.ndarray, indices: np.ndarray, n: int) -> int:
+    """Infer whether the on-disk arrays are 0- or 1-based."""
+    if indptr[0] == 0:
+        return 0
+    if indptr[0] == 1:
+        return 1
+    raise ValueError(f"cannot infer index base: indptr[0]={indptr[0]}")
+
+
+def read_csr_text(path, base: int | None = None) -> CSRMatrix:
+    """Read a .csr text file, normalizing to 0-based indices.
+
+    base: force 0 or 1; None autodetects from indptr[0] (and sanity-checks
+    column range).
+    """
+    tok = _read_tokens(path)
+    m, n, nnz = int(tok[0]), int(tok[1]), int(tok[2])
+    need = 3 + (m + 1) + 2 * nnz
+    if len(tok) < need:
+        raise ValueError(f"{path}: expected {need} tokens, found {len(tok)}")
+    indptr = np.array(tok[3 : 3 + m + 1], dtype=np.int64)
+    indices = np.array(tok[3 + m + 1 : 3 + m + 1 + nnz], dtype=np.int64)
+    data = np.array(tok[3 + m + 1 + nnz : need], dtype=np.float32)
+    if base is None:
+        base = _detect_base(indptr, indices, n)
+    if base == 1:
+        indptr = indptr - 1
+        indices = indices - 1
+    if indices.size and (indices.min() < 0 or indices.max() >= n):
+        raise ValueError(f"{path}: column indices out of range for base={base}")
+    return CSRMatrix(indptr, indices, data, (m, n))
+
+
+def write_csr_text(path, mat: CSRMatrix, base: int = 0) -> None:
+    """Write .csr text (0-based by default, matching converter.m output)."""
+    off = int(base)
+    with open(path, "w") as f:
+        f.write(f"{mat.m} {mat.n} {mat.nnz}\n")
+        f.write(" ".join(map(str, (mat.indptr.astype(np.int64) + off).tolist())))
+        f.write(" \n")
+        f.write(" ".join(map(str, (mat.indices.astype(np.int64) + off).tolist())))
+        f.write(" \n")
+        f.write(" ".join(f"{v:.6f}" for v in mat.data.tolist()))
+        f.write(" \n")
+
+
+def read_csr3_text(path):
+    """Read a .csr3 file: returns (mat, coarsest_ptr, coarser_ptr).
+
+    Layout per reformat-csr-to-csr3/spmv-auto.cpp:38-63: header of five ints,
+    then the two super-row pointer arrays (0-based), then plain CSR arrays.
+    """
+    tok = _read_tokens(path)
+    n_coarsest, n_coarser, m, n, nnz = (int(t) for t in tok[:5])
+    p = 5
+    coarsest = np.array(tok[p : p + n_coarsest + 1], dtype=np.int64)
+    p += n_coarsest + 1
+    coarser = np.array(tok[p : p + n_coarser + 1], dtype=np.int64)
+    p += n_coarser + 1
+    indptr = np.array(tok[p : p + m + 1], dtype=np.int64)
+    p += m + 1
+    indices = np.array(tok[p : p + nnz], dtype=np.int64)
+    p += nnz
+    data = np.array(tok[p : p + nnz], dtype=np.float32)
+    mat = CSRMatrix(indptr, indices, data, (m, n))
+    return mat, coarsest.astype(np.int32), coarser.astype(np.int32)
+
+
+def write_csr3_text(path, mat: CSRMatrix, coarsest_ptr, coarser_ptr) -> None:
+    """Write a .csr3 file (reformat-auto's my_write_csr equivalent)."""
+    coarsest_ptr = np.asarray(coarsest_ptr, dtype=np.int64)
+    coarser_ptr = np.asarray(coarser_ptr, dtype=np.int64)
+    with open(path, "w") as f:
+        f.write(
+            f"{coarsest_ptr.shape[0] - 1} {coarser_ptr.shape[0] - 1} "
+            f"{mat.m} {mat.n} {mat.nnz} \n"
+        )
+        for arr in (
+            coarsest_ptr,
+            coarser_ptr,
+            mat.indptr.astype(np.int64),
+            mat.indices.astype(np.int64),
+        ):
+            f.write(" ".join(map(str, arr.tolist())))
+            f.write(" ")
+        f.write(" ".join(f"{v:.6f}" for v in mat.data.tolist()))
+        f.write(" ")

@@ -1,0 +1,233 @@
+"""Graph coarsening for multilevel CSR-k construction.
+
+Two coarsener families, re-expressed as vectorized NumPy:
+
+  * hand_coarsen — greedy packing of *contiguous* rows until an nnz budget
+    is reached, plus construction of the weighted coarse adjacency graph
+    (reference: BAND_k::handCoarsen, spmv-csrk/csrk.cpp:1243-1437).
+  * matching_coarsen — repeated maximal matchings (random / heavy-edge /
+    light-edge) until the vertex count drops below a target
+    (reference: BAND_k::coarsenUsingMatching csrk.cpp:1439-1519,
+    randomMatching/heavyEdgeMatching/lightEdgeMatching csrk.cpp:3181-3648,
+    findFinalMapping csrk.cpp:3125-3173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class WeightedGraph:
+    """CSR adjacency with per-edge multiplicity weights and vertex weights.
+
+    Mirrors the reference's C_GRAPH (csrk.h:181-249): `degree` there is the
+    merged-duplicate multiplicity we call edge_weights.
+    """
+
+    indptr: np.ndarray  # (n+1,) int64
+    indices: np.ndarray  # (nnz,) int64
+    edge_weights: np.ndarray  # (nnz,) int64
+    vertex_weights: np.ndarray  # (n,) int64 — fine vertices represented
+
+    @property
+    def n(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @classmethod
+    def from_csr(cls, indptr, indices) -> "WeightedGraph":
+        indptr = np.asarray(indptr, dtype=np.int64)
+        indices = np.asarray(indices, dtype=np.int64)
+        return cls(
+            indptr,
+            indices,
+            np.ones(indices.shape[0], dtype=np.int64),
+            np.ones(indptr.shape[0] - 1, dtype=np.int64),
+        )
+
+    def renumbered(self, perm: np.ndarray) -> "WeightedGraph":
+        """Apply new->old perm: relabel vertices and re-sort adjacency
+        (reference: renumberGraphUsingReorderedVertices csrk.cpp:3012-3115)."""
+        perm = np.asarray(perm, dtype=np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.shape[0], dtype=np.int64)
+        lengths = np.diff(self.indptr)[perm]
+        new_indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=new_indptr[1:])
+        take = (
+            np.concatenate(
+                [np.arange(self.indptr[p], self.indptr[p + 1]) for p in perm]
+            )
+            if self.n
+            else np.zeros(0, dtype=np.int64)
+        )
+        new_cols = inv[self.indices[take]]
+        new_w = self.edge_weights[take]
+        row_ids = np.repeat(np.arange(self.n, dtype=np.int64), lengths)
+        order = np.lexsort((new_cols, row_ids))
+        return WeightedGraph(
+            new_indptr, new_cols[order], new_w[order], self.vertex_weights[perm]
+        )
+
+
+def _group_graph(
+    group_of: np.ndarray,
+    n_groups: int,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    edge_weights: np.ndarray | None = None,
+) -> WeightedGraph:
+    """Build the coarse weighted graph induced by a vertex->group map.
+
+    Edge weight between groups = total multiplicity of fine edges between
+    them (self-loops kept, like handCoarsen's duplicate-merge with degree
+    payload, csrk.cpp:1370-1405).
+    """
+    n = indptr.shape[0] - 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    gr = group_of[rows]
+    gc = group_of[indices]
+    w = (
+        edge_weights.astype(np.int64)
+        if edge_weights is not None
+        else np.ones(indices.shape[0], dtype=np.int64)
+    )
+    # Dedup (gr, gc) pairs, summing multiplicities.
+    key = gr * np.int64(n_groups) + gc
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    w_s = w[order]
+    boundaries = np.flatnonzero(np.diff(key_s) != 0) + 1
+    uniq_keys = key_s[np.concatenate(([0], boundaries))] if key_s.size else key_s
+    sums = np.add.reduceat(w_s, np.concatenate(([0], boundaries))) if key_s.size else w_s
+    cr = (uniq_keys // n_groups).astype(np.int64)
+    cc = (uniq_keys % n_groups).astype(np.int64)
+    cindptr = np.zeros(n_groups + 1, dtype=np.int64)
+    np.add.at(cindptr, cr + 1, 1)
+    cindptr = np.cumsum(cindptr)
+    vweights = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(vweights, group_of, 1)
+    return WeightedGraph(cindptr, cc, sums.astype(np.int64), vweights)
+
+
+def hand_coarsen(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    nnz_budget: int,
+    edge_weights: np.ndarray | None = None,
+) -> tuple[np.ndarray, WeightedGraph]:
+    """Pack contiguous rows into super-rows of ~nnz_budget nonzeros.
+
+    Returns (map_ptr, coarse_graph) where map_ptr is the (n_coarse+1,)
+    CSR-style pointer from super-rows to row ranges — the reference's
+    mapCoarseToFinerRows[level] (r_start_coarsened, csrk.cpp:1267-1292).
+
+    Break rule matches the reference exactly: a group closes when its
+    accumulated nnz has reached the budget *before* adding the next row,
+    so groups slightly overshoot the budget.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    n = indptr.shape[0] - 1
+    lengths = np.diff(indptr)
+    nnz_budget = max(int(nnz_budget), 1)
+
+    # Greedy contiguous packing. Vectorized via repeated cumsum scan:
+    # group boundaries are where running nnz (reset at each boundary)
+    # reaches the budget. A simple O(n) loop in NumPy-friendly chunks.
+    boundaries = [0]
+    acc = 0
+    for i in range(n):
+        if acc >= nnz_budget:
+            boundaries.append(i)
+            acc = 0
+        acc += lengths[i]
+    map_ptr = np.asarray(boundaries + [n], dtype=np.int64)
+
+    group_of = np.zeros(n, dtype=np.int64)
+    group_of[map_ptr[1:-1]] = 1
+    group_of = np.cumsum(group_of)
+    coarse = _group_graph(
+        group_of, map_ptr.shape[0] - 1, indptr, indices, edge_weights
+    )
+    return map_ptr, coarse
+
+
+def _maximal_matching(
+    g: WeightedGraph, mode: str, rng: np.random.Generator
+) -> np.ndarray:
+    """One round of maximal matching; returns match[v] = partner (or v).
+
+    mode: 'random' — first unmatched neighbor in random vertex order;
+          'heavy'  — unmatched neighbor of maximum edge weight;
+          'light'  — minimum edge weight.
+    (reference: randomMatching/heavyEdgeMatching/lightEdgeMatching,
+    csrk.cpp:3181-3648 — all visit vertices in a random permutation.)
+    """
+    n = g.n
+    match = np.full(n, -1, dtype=np.int64)
+    visit = rng.permutation(n)
+    for v in visit:
+        if match[v] >= 0:
+            continue
+        s, e = g.indptr[v], g.indptr[v + 1]
+        neigh = g.indices[s:e]
+        w = g.edge_weights[s:e]
+        free = (match[neigh] < 0) & (neigh != v)
+        if not free.any():
+            match[v] = v
+            continue
+        cand, cw = neigh[free], w[free]
+        if mode == "heavy":
+            u = cand[np.argmax(cw)]
+        elif mode == "light":
+            u = cand[np.argmin(cw)]
+        else:
+            u = cand[0]
+        match[v] = u
+        match[u] = v
+    return match
+
+
+def matching_coarsen(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    target_size: int,
+    mode: str = "heavy",
+    seed: int = 0,
+    max_rounds: int = 64,
+) -> tuple[np.ndarray, np.ndarray, WeightedGraph]:
+    """Coarsen by repeated matchings until <= target_size vertices remain.
+
+    Returns (order, map_ptr, coarse_graph): `order` is the fine permutation
+    (new->old) that makes each coarse vertex's fine members contiguous, and
+    map_ptr is the (n_coarse+1,) pointer of member ranges in that order
+    (the reference's findFinalMapping flattening, csrk.cpp:3125-3173).
+    """
+    g = WeightedGraph.from_csr(indptr, indices)
+    n = g.n
+    rng = np.random.default_rng(seed)
+    group_of = np.arange(n, dtype=np.int64)
+    rounds = 0
+    while g.n > max(int(target_size), 1) and rounds < max_rounds:
+        match = _maximal_matching(g, mode, rng)
+        # Pair (v, match[v]) -> one coarse vertex; singletons keep their own.
+        rep = np.minimum(np.arange(g.n, dtype=np.int64), match)
+        uniq, new_id = np.unique(rep, return_inverse=True)
+        if uniq.shape[0] == g.n:
+            break  # no progress (graph is matching-saturated)
+        g = _group_graph(new_id, uniq.shape[0], g.indptr, g.indices, g.edge_weights)
+        group_of = new_id[group_of]
+        rounds += 1
+    # Sort fine vertices by coarse id to get contiguous ranges.
+    order = np.argsort(group_of, kind="stable")
+    counts = np.zeros(g.n + 1, dtype=np.int64)
+    np.add.at(counts, group_of + 1, 1)
+    map_ptr = np.cumsum(counts)
+    return order, map_ptr, g
