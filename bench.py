@@ -1,0 +1,76 @@
+"""Round benchmark: flagship Pallas SELL SpMV vs the pure-XLA baseline.
+
+Prints ONE JSON line:
+  metric: spmv_gflops — flagship kernel GFLOP/s (2*nnz/TimeMin) on a
+          reference-class matrix (1M-row 5-point Laplacian, the
+          ecology1/G3_circuit/thermal2 family; RCM'd like the
+          reference pipeline's converter.m).
+  vs_baseline: speedup over the in-repo segment-sum baseline, which
+          stands in for the reference's vendor-library baselines
+          (MKL/cuSPARSE role; no absolute numbers exist in-tree,
+          BASELINE.md).
+Timing uses the slope protocol (tpu_spmv/bench/harness.py) — the
+reference's naive per-call protocol is invalid through this TPU tunnel.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
+    from tpu_spmv.bench.matrices import laplacian_2d
+    from tpu_spmv.formats.sell import SellSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
+    from tpu_spmv.reorder.rcm import rcm
+
+    mat = laplacian_2d(1024)  # 1.05M rows, 5.2M nnz
+    perm = None
+    try:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        perm = np.asarray(reverse_cuthill_mckee(mat.to_scipy(), symmetric_mode=True))
+    except Exception:
+        perm = rcm(mat.indptr, mat.indices)
+    mat = mat.permuted(perm)
+
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    xj = jnp.asarray(x)
+    y_oracle = mat.matvec(x)
+
+    layout = SellSlabs.from_csr(mat)
+    y = np.asarray(spmv_sell(layout, xj))
+    wrong, rel = validate(y, y_oracle)
+    flag = bench_spmv(spmv_sell, layout, xj)
+
+    seg = SegsumLayout.from_csr(mat)
+    base = bench_spmv(spmv_segsum, seg, xj, reps_lo=2, reps_hi=10)
+
+    roof = roofline_nnzs(layout.hbm_bytes / max(mat.nnz, 1))
+    print(
+        f"# flagship: {flag.gflops:.1f} GFLOP/s ({flag.gnnzs:.1f} Gnnz/s, "
+        f"{100 * flag.gnnzs * 1e9 / roof:.0f}% layout roofline) | "
+        f"baseline segsum: {base.gflops:.2f} GFLOP/s | "
+        f"wrong={wrong} relL2={rel:.1e} pad={layout.padding_ratio:.2f}",
+        file=sys.stderr,
+    )
+    assert wrong == 0, f"validation failed: {wrong} elements beyond tolerance"
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_gflops",
+                "value": round(flag.gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(flag.time_min and base.time_min / flag.time_min, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded
+from tpu_spmv.dist.sharding import ShardedSell, make_row_mesh, spmv_sharded
+from tpu_spmv.dist.solvers import cg_solve
+
+
+def _mesh_or_skip(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_row_mesh(jax.devices()[:n])
+
+
+def _shard_vec(v, pm, mesh):
+    out = np.zeros(pm, np.float32)
+    out[: v.shape[0]] = v
+    return jax.device_put(jnp.asarray(out), NamedSharding(mesh, P("rows")))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_spmv_matches_oracle(n_dev):
+    mesh = _mesh_or_skip(n_dev)
+    mat = random_banded(3000, 60, 8, seed=0)
+    lay = ShardedSell.build(mat, n_dev).device_put(mesh)
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    xj = _shard_vec(x, lay.padded_m, mesh)
+    y = np.asarray(spmv_sharded(lay, xj, mesh))[: mat.m]
+    y_ref = mat.matvec(x)
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_sharded_padding_rows_are_zero():
+    mesh = _mesh_or_skip(8)
+    mat = laplacian_2d(40)  # 1600 rows, not divisible by shards
+    lay = ShardedSell.build(mat, 8).device_put(mesh)
+    x = np.ones(mat.n, np.float32)
+    xj = _shard_vec(x, lay.padded_m, mesh)
+    y = np.asarray(spmv_sharded(lay, xj, mesh))
+    assert np.all(y[mat.m :] == 0.0)
+
+
+def test_cg_converges_distributed():
+    mesh = _mesh_or_skip(8)
+    mat = random_banded(2000, 40, 8, seed=1)  # SPD by construction
+    lay = ShardedSell.build(mat, 8).device_put(mesh)
+    b = _shard_vec(np.ones(mat.m, np.float32), lay.padded_m, mesh)
+    sol, res = cg_solve(lay, b, mesh, iters=60)
+    sol = np.asarray(sol)[: mat.m]
+    resid = np.linalg.norm(mat.matvec(sol) - 1.0) / np.sqrt(mat.m)
+    assert resid < 1e-4, resid
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    y = np.asarray(fn(*args, interpret=True))
+    assert np.isfinite(y).all()
+    __graft_entry__.dryrun_multichip(8)

@@ -62,38 +62,57 @@ def _loop_fn(spmv, layout, reps):
     return run
 
 
+def _min_time(fn, x, samples: int) -> float:
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.asarray(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_spmv(
     spmv,
     layout,
     x: jax.Array,
-    reps_lo: int = 4,
-    reps_hi: int = 36,
+    reps_lo: int = 8,
+    reps_hi: int = 108,
     samples: int = 3,
     nnz: int | None = None,
+    _depth: int = 0,
 ) -> BenchResult:
     """Slope-timed SpMV benchmark.
 
     spmv: callable (layout, x) -> y with len(y) == len(x) (square matrix).
+
+    The ~26ms fetch quantum has several-ms jitter, so the slope uses
+    min-over-samples at each reps value and the reps gap adaptively grows
+    until the work difference dominates the jitter.
     """
     lo = _loop_fn(spmv, layout, reps_lo)
     hi = _loop_fn(spmv, layout, reps_hi)
     np.asarray(lo(x))  # compile + warm both
     np.asarray(hi(x))
-    slopes = []
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        np.asarray(lo(x))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(hi(x))
-        t_hi = time.perf_counter() - t0
-        slopes.append((t_hi - t_lo) / (reps_hi - reps_lo))
+    t_lo = _min_time(lo, x, samples)
+    t_hi = _min_time(hi, x, samples)
+    # Grow the gap until the measured difference is well above jitter.
+    if (t_hi - t_lo) < 0.02 and _depth < 3:
+        return bench_spmv(
+            spmv, layout, x,
+            reps_lo=reps_lo,
+            reps_hi=reps_lo + (reps_hi - reps_lo) * 4,
+            samples=samples,
+            nnz=nnz,
+            _depth=_depth + 1,
+        )
+    slope = max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
+    # Spread estimate from avg-based slope as a crude max bound.
     if nnz is None:
         nnz = getattr(layout, "nnz")
     return BenchResult(
-        time_min=min(slopes),
-        time_max=max(slopes),
-        time_avg=sum(slopes) / len(slopes),
+        time_min=slope,
+        time_max=slope,
+        time_avg=slope,
         nnz=nnz,
         iters=(reps_lo, reps_hi, samples),
     )

@@ -77,18 +77,26 @@ def random_banded(
     rng = np.random.default_rng(seed)
     per_row = max(int(avg_nnz_per_row) // 2, 1)  # half above, mirrored below
     rows = np.repeat(np.arange(m, dtype=np.int64), per_row)
-    offsets = rng.integers(0, band + 1, size=rows.shape[0])
+    offsets = rng.integers(1, band + 1, size=rows.shape[0])
     cols = np.minimum(rows + offsets, m - 1)
+    keep = cols != rows  # the diagonal is added separately below
+    rows, cols = rows[keep], cols[keep]
     vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
-    # Symmetrize + ensure a full diagonal.
-    all_rows = np.concatenate([rows, cols, np.arange(m, dtype=np.int64)])
-    all_cols = np.concatenate([cols, rows, np.arange(m, dtype=np.int64)])
-    diag = (
-        np.full(m, avg_nnz_per_row + 1.0, dtype=np.float32)
-        if diagonally_dominant
-        else rng.standard_normal(m).astype(np.float32)
-    )
-    all_vals = np.concatenate([vals, vals, diag])
+    # Symmetrize.
+    all_rows = np.concatenate([rows, cols])
+    all_cols = np.concatenate([cols, rows])
+    all_vals = np.concatenate([vals, vals])
+    if diagonally_dominant:
+        # Strict row-wise dominance => symmetric => SPD (needed for CG).
+        rowsum = np.zeros(m, dtype=np.float64)
+        off = all_rows != all_cols
+        np.add.at(rowsum, all_rows[off], np.abs(all_vals[off].astype(np.float64)))
+        diag = (rowsum + 1.0).astype(np.float32)
+    else:
+        diag = rng.standard_normal(m).astype(np.float32)
+    all_rows = np.concatenate([all_rows, np.arange(m, dtype=np.int64)])
+    all_cols = np.concatenate([all_cols, np.arange(m, dtype=np.int64)])
+    all_vals = np.concatenate([all_vals, diag])
     return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
 
 

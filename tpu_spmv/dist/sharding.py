@@ -1,0 +1,223 @@
+"""Multi-chip SpMV: row-block sharding over a 1D device mesh.
+
+The reference is strictly single-device (SURVEY.md section 2.5: no MPI/
+NCCL anywhere); this subsystem is net-new, designed for TPU ICI:
+
+  * rows are block-partitioned across the mesh axis "rows" — the
+    distributed analog of CSR-k's coarsest level (each device owns a
+    contiguous super-block of RCM'd rows),
+  * x is row-sharded like y; each device needs a window of x covering
+    its columns. After RCM the window is narrow, but round 1 uses a
+    full all-gather of x over ICI (correct for any structure); the
+    banded ppermute halo exchange is the planned optimization,
+  * each device runs the single-chip Pallas SELL kernel on its block.
+
+Built on shard_map so the collective schedule is explicit and XLA can
+overlap it with the local gather set-up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_spmv.formats.csr import CSRMatrix
+from tpu_spmv.formats.sell import LANES, SUBLANES, SellSlabs
+from tpu_spmv.kernels.pallas_sell import spmv_sell
+
+
+def make_row_mesh(devices=None, axis: str = "rows") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedSell:
+    """Per-device SELL layouts stacked on a leading mesh dimension.
+
+    All devices share identical array shapes (padded to the max) so the
+    stack shards cleanly over the mesh axis.
+    """
+
+    vals: jax.Array  # (D, total_k, 128)
+    cols: jax.Array  # (D, total_k, 128) — column ids are GLOBAL
+    sub_b0: jax.Array  # (D, S)
+    sub_nb: jax.Array  # (D, S)
+    sub_chunk: jax.Array  # (D, S)
+    m: int
+    n: int
+    nnz: int
+    rows_per_shard: int  # padded to a multiple of 8*128
+    num_chunks_local: int
+    max_nb: int
+    n_devices: int
+
+    def tree_flatten(self):
+        children = (self.vals, self.cols, self.sub_b0, self.sub_nb, self.sub_chunk)
+        aux = (
+            self.m,
+            self.n,
+            self.nnz,
+            self.rows_per_shard,
+            self.num_chunks_local,
+            self.max_nb,
+            self.n_devices,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def _local_layout_struct(self, vals, cols, sub_b0, sub_nb, sub_chunk) -> SellSlabs:
+        return SellSlabs(
+            vals=vals,
+            cols=cols,
+            sub_b0=sub_b0,
+            sub_nb=sub_nb,
+            sub_chunk=sub_chunk,
+            m=self.rows_per_shard,
+            n=self.n,
+            nnz=self.nnz,  # only used for stats
+            num_chunks=self.num_chunks_local,
+            max_nb=self.max_nb,
+        )
+
+    @classmethod
+    def build(cls, mat: CSRMatrix, n_devices: int) -> "ShardedSell":
+        """Partition rows into n_devices equal blocks and build layouts."""
+        m, n = mat.shape
+        rows_per_shard = _round_up(_round_up(m, n_devices) // n_devices, 8 * LANES)
+        shards = []
+        for d in range(n_devices):
+            r0 = min(d * rows_per_shard, m)
+            r1 = min((d + 1) * rows_per_shard, m)
+            sl_indptr = (
+                mat.indptr[r0 : r1 + 1].astype(np.int64) - int(mat.indptr[r0])
+                if r1 > r0
+                else np.zeros(1, dtype=np.int64)
+            )
+            # Pad the shard's row count so every shard is rows_per_shard.
+            pad_rows = rows_per_shard - (r1 - r0)
+            if pad_rows:
+                sl_indptr = np.concatenate(
+                    [sl_indptr, np.full(pad_rows, sl_indptr[-1], dtype=np.int64)]
+                )
+            block = CSRMatrix(
+                sl_indptr.astype(np.int32),
+                mat.indices[mat.indptr[r0] : mat.indptr[r1]],
+                mat.data[mat.indptr[r0] : mat.indptr[r1]],
+                (rows_per_shard, n),
+            )
+            shards.append(SellSlabs.from_csr(block))
+
+        # Pad all shards to identical shapes.
+        total_k = max(int(s.vals.shape[0]) for s in shards)
+        S = max(s.num_subtiles for s in shards)
+        num_chunks_local = rows_per_shard // LANES
+        max_nb = max(s.max_nb for s in shards)
+
+        def padk(a, target, fill):
+            pad = target - a.shape[0]
+            if pad == 0:
+                return np.asarray(a)
+            return np.concatenate(
+                [np.asarray(a), np.full((pad,) + a.shape[1:], fill, a.dtype)]
+            )
+
+        vals = np.stack([padk(s.vals, total_k, 0.0) for s in shards])
+        cols = np.stack([padk(s.cols, total_k, 0) for s in shards])
+        sub_b0 = np.stack([padk(s.sub_b0, S, 0) for s in shards])
+        sub_nb = np.stack([padk(s.sub_nb, S, 1) for s in shards])
+        # Padding sub-tiles point at the dropped segment (num_chunks_local).
+        sub_chunk = np.stack(
+            [padk(s.sub_chunk, S, num_chunks_local) for s in shards]
+        )
+        return cls(
+            vals=jnp.asarray(vals),
+            cols=jnp.asarray(cols),
+            sub_b0=jnp.asarray(sub_b0),
+            sub_nb=jnp.asarray(sub_nb),
+            sub_chunk=jnp.asarray(sub_chunk),
+            m=m,
+            n=n,
+            nnz=mat.nnz,
+            rows_per_shard=rows_per_shard,
+            num_chunks_local=num_chunks_local,
+            max_nb=max_nb,
+            n_devices=n_devices,
+        )
+
+    def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedSell":
+        """Place the stacked arrays with the leading dim sharded."""
+        sh = NamedSharding(mesh, P(axis))
+        put = lambda a: jax.device_put(a, sh)
+        return ShardedSell(
+            vals=put(self.vals),
+            cols=put(self.cols),
+            sub_b0=put(self.sub_b0),
+            sub_nb=put(self.sub_nb),
+            sub_chunk=put(self.sub_chunk),
+            m=self.m,
+            n=self.n,
+            nnz=self.nnz,
+            rows_per_shard=self.rows_per_shard,
+            num_chunks_local=self.num_chunks_local,
+            max_nb=self.max_nb,
+            n_devices=self.n_devices,
+        )
+
+    @property
+    def padded_m(self) -> int:
+        return self.rows_per_shard * self.n_devices
+
+
+def spmv_sharded(
+    layout: ShardedSell,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "rows",
+    interpret: bool | None = None,
+):
+    """y = A @ x, rows sharded over `axis`; x arrives row-sharded.
+
+    x: (padded_m,) float32 sharded P(axis) (square matrices: padded with
+    zeros beyond n). Returns y (padded_m,) sharded P(axis).
+    interpret: force Pallas interpreter mode; None auto-selects it on the
+    CPU backend (used by the simulated-mesh tests and multichip dry runs).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local(vals, cols, sub_b0, sub_nb, sub_chunk, x_shard):
+        # Collect the full x over ICI; narrow halo exchange is a planned
+        # optimization for banded structures.
+        x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: layout.n]
+        local_layout = layout._local_layout_struct(
+            vals[0], cols[0], sub_b0[0], sub_nb[0], sub_chunk[0]
+        )
+        y_local = spmv_sell(local_layout, x_full, interpret=interpret)
+        return y_local[None]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    y = fn(
+        layout.vals, layout.cols, layout.sub_b0, layout.sub_nb,
+        layout.sub_chunk, x,
+    )
+    return y.reshape(-1)

@@ -1,0 +1,56 @@
+"""Distributed solvers on top of sharded SpMV.
+
+The reference's only driver for SpMV is the benchmark loop; real
+deployments run it inside iterative solvers. Conjugate gradient is the
+canonical one (and the multi-chip 'training step' analog: SpMV over the
+mesh + psum-reduced dot products over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_spmv.dist.sharding import ShardedSell, spmv_sharded
+
+
+def cg_step(layout: ShardedSell, mesh: Mesh, state, axis: str = "rows"):
+    """One CG iteration; all vectors row-sharded over `axis`."""
+    x, r, p, rz = state
+    Ap = spmv_sharded(layout, p, mesh, axis)
+    pAp = jnp.vdot(p, Ap)
+    alpha = rz / jnp.maximum(pAp, 1e-30)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    rz_new = jnp.vdot(r, r)
+    beta = rz_new / jnp.maximum(rz, 1e-30)
+    p = r + beta * p
+    return (x, r, p, rz_new)
+
+
+def cg_solve(
+    layout: ShardedSell,
+    b: jax.Array,
+    mesh: Mesh,
+    iters: int = 50,
+    axis: str = "rows",
+):
+    """Solve A x = b (A SPD) with `iters` fixed CG iterations.
+
+    b: (padded_m,) row-sharded; returns (x, final residual norm^2).
+    """
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(b, iters):
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        state = (x0, r0, r0, jnp.vdot(r0, r0))
+        state = jax.lax.fori_loop(
+            0, iters, lambda i, s: cg_step(layout, mesh, s, axis), state
+        )
+        return state[0], state[3]
+
+    return run(b, iters)
