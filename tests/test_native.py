@@ -1,0 +1,84 @@
+"""Native C++ core vs NumPy reference: exact-equality parity tests."""
+
+import numpy as np
+import pytest
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+from tpu_spmv.formats.csr import CSRMatrix
+from tpu_spmv.reorder import native
+from tpu_spmv.reorder.coarsen import hand_coarsen as np_hand_coarsen
+from tpu_spmv.reorder.rcm import rcm as np_rcm
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native core unavailable: {native.load_error()}"
+)
+
+
+@pytest.mark.parametrize(
+    "mat",
+    [
+        laplacian_2d(20),
+        random_banded(800, 30, 8, seed=1),
+        random_general(500, 6, seed=2),
+    ],
+    ids=["lap2d", "banded", "general"],
+)
+def test_rcm_exact_parity(mat):
+    ours = native.rcm(mat.indptr, mat.indices)
+    ref = np_rcm(mat.indptr, mat.indices)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_rcm_weighted_parity():
+    mat = random_general(400, 8, seed=3)
+    w = (np.arange(mat.nnz) % 5 + 1).astype(np.int64)
+    ours = native.rcm(mat.indptr, mat.indices, w)
+    ref = np_rcm(mat.indptr, mat.indices, w)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_rcm_disconnected_parity():
+    rows = [0, 1, 1, 2, 3, 4, 4, 5, 7, 8]
+    cols = [1, 0, 2, 1, 4, 3, 5, 4, 8, 7]
+    mat = CSRMatrix.from_coo(rows, cols, np.ones(10, np.float32), (9, 9))
+    np.testing.assert_array_equal(
+        native.rcm(mat.indptr, mat.indices), np_rcm(mat.indptr, mat.indices)
+    )
+
+
+def test_hand_coarsen_boundaries_parity():
+    mat = random_banded(1000, 40, 10, seed=4)
+    budget = 8 * mat.nnz // mat.m
+    ref_map, _ = np_hand_coarsen(mat.indptr, mat.indices, budget)
+    ours = native.hand_coarsen_boundaries(mat.indptr, budget)
+    np.testing.assert_array_equal(ours, ref_map)
+
+
+def test_permute_symmetric_parity():
+    mat = random_banded(600, 25, 8, seed=5)
+    perm = np.random.default_rng(0).permutation(600)
+    indptr, indices, data = native.permute_symmetric(
+        mat.indptr, mat.indices, mat.data, perm
+    )
+    dense = mat.to_dense()
+    out = CSRMatrix(indptr, indices, data, mat.shape)
+    np.testing.assert_allclose(out.to_dense(), dense[np.ix_(perm, perm)])
+    for i in range(out.m):
+        cols = out.indices[out.indptr[i] : out.indptr[i + 1]]
+        assert (np.diff(cols) > 0).all()
+
+
+def test_sell_targets_parity():
+    mat = random_banded(500, 20, 6, seed=6)
+    lanes = 128
+    num_chunks = -(-500 // lanes)
+    lens = np.zeros(num_chunks * lanes, dtype=np.int64)
+    lens[:500] = mat.row_lengths
+    kc = np.maximum((lens.reshape(num_chunks, lanes).max(axis=1) + 7) // 8 * 8, 8)
+    koff = np.zeros(num_chunks + 1, dtype=np.int64)
+    np.cumsum(kc, out=koff[1:])
+    dest_k, dest_l = native.sell_targets(mat.indptr, koff, lanes)
+    rows = np.repeat(np.arange(500, dtype=np.int64), mat.row_lengths)
+    ranks = np.arange(mat.nnz) - np.repeat(mat.indptr[:-1].astype(np.int64), mat.row_lengths)
+    np.testing.assert_array_equal(dest_k, koff[rows // lanes] + ranks)
+    np.testing.assert_array_equal(dest_l, rows % lanes)

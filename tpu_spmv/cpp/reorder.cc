@@ -1,0 +1,241 @@
+// Native host preprocessing core for tpu_spmv.
+//
+// The reference's preprocessing (RCM + coarsening + matrix permutation,
+// ~3.6k LoC of pointer-chasing C++ in spmv-csrk/csrk.cpp) is wrong to
+// emulate in Python at scale; this is a fresh implementation of the same
+// algorithms with a minimal C ABI consumed through ctypes
+// (tpu_spmv/reorder/native.py).
+//
+// Algorithms (same semantics as the NumPy reference implementations in
+// tpu_spmv/reorder/, so tests can require exact permutation equality):
+//   rcm:           George-Liu pseudo-peripheral root per connected
+//                  component + Cuthill-McKee with neighbors visited in
+//                  (descending edge weight, ascending degree, ascending
+//                  id) order, reversed per component.
+//                  (reference: rcm_reordering_g csrk.cpp:2289-2374,
+//                  findPseudoPeripheralVertex csrk.cpp:2377-2423)
+//   hand_coarsen_boundaries: greedy contiguous packing until an nnz
+//                  budget is reached (handCoarsen csrk.cpp:1243-1292).
+//   permute_symmetric: A -> P A P^T with per-row column sort
+//                  (reorderA csrk.cpp:548-676).
+//
+// Build: make -C tpu_spmv/cpp  (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct NeighborKey {
+  int64_t weight;   // descending
+  int64_t degree;   // ascending
+  int64_t id;       // ascending
+  bool operator<(const NeighborKey& o) const {
+    if (weight != o.weight) return weight > o.weight;
+    if (degree != o.degree) return degree < o.degree;
+    return id < o.id;
+  }
+};
+
+// Rooted BFS level structure over unvisited vertices; levels returned as
+// (level_ptr, level_vtx) with each level's vertices sorted ascending.
+// `seen` is a scratch marker reset before return.
+int level_structure(int64_t root, const int64_t* indptr, const int32_t* indices,
+                    const std::vector<uint8_t>& visited_in,
+                    std::vector<uint8_t>& seen, std::vector<int64_t>& level_ptr,
+                    std::vector<int64_t>& level_vtx) {
+  level_ptr.clear();
+  level_vtx.clear();
+  level_ptr.push_back(0);
+  level_vtx.push_back(root);
+  seen[root] = 1;
+  size_t level_begin = 0;
+  while (true) {
+    size_t level_end = level_vtx.size();
+    level_ptr.push_back(static_cast<int64_t>(level_end));
+    for (size_t i = level_begin; i < level_end; ++i) {
+      int64_t v = level_vtx[i];
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        int64_t u = indices[e];
+        if (!seen[u] && !visited_in[u]) {
+          seen[u] = 1;
+          level_vtx.push_back(u);
+        }
+      }
+    }
+    if (level_vtx.size() == level_end) break;
+    std::sort(level_vtx.begin() + level_end, level_vtx.end());
+    level_begin = level_end;
+  }
+  for (int64_t v : level_vtx) seen[v] = 0;
+  level_ptr.pop_back();  // drop the empty trailing level
+  return static_cast<int>(level_ptr.size()) - 1 + 1;  // number of levels
+}
+
+int64_t pseudo_peripheral(int64_t root, const int64_t* indptr,
+                          const int32_t* indices,
+                          const std::vector<uint8_t>& visited,
+                          std::vector<uint8_t>& seen) {
+  std::vector<int64_t> lp, lv;
+  level_structure(root, indptr, indices, visited, seen, lp, lv);
+  size_t num_lvls = lp.size();
+  size_t cc_size = lv.size();
+  if (num_lvls <= 1 || num_lvls >= cc_size) return root;
+  while (true) {
+    // Min-degree vertex of the deepest level (ascending id tie-break —
+    // the levels are sorted, so first-min wins like np.argmin).
+    int64_t last_begin = lp[num_lvls - 1];
+    int64_t best = lv[last_begin];
+    int64_t best_deg = indptr[best + 1] - indptr[best];
+    for (size_t i = last_begin; i < lv.size(); ++i) {
+      int64_t v = lv[i];
+      int64_t deg = indptr[v + 1] - indptr[v];
+      if (deg < best_deg) {
+        best = v;
+        best_deg = deg;
+      }
+    }
+    std::vector<int64_t> lp2, lv2;
+    level_structure(best, indptr, indices, visited, seen, lp2, lv2);
+    if (lp2.size() <= num_lvls) return root;
+    root = best;
+    lp.swap(lp2);
+    lv.swap(lv2);
+    num_lvls = lp.size();
+    if (num_lvls >= cc_size) return root;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Reverse Cuthill-McKee. indptr: (n+1) int64; indices: (nnz) int32;
+// edge_weights: (nnz) int64 or nullptr; perm_out: (n) int64 new->old.
+// Returns 0 on success.
+int tpu_spmv_rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 const int64_t* edge_weights, int64_t* perm_out) {
+  std::vector<uint8_t> visited(n, 0), seen(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<NeighborKey> keys;
+  std::vector<int64_t> cc_bounds;
+  cc_bounds.push_back(0);
+
+  for (int64_t start = 0; start < n; ++start) {
+    if (visited[start]) continue;
+    int64_t root = pseudo_peripheral(start, indptr, indices, visited, seen);
+    // Cuthill-McKee BFS from the pseudo-peripheral root.
+    size_t head = order.size();
+    visited[root] = 1;
+    order.push_back(root);
+    while (head < order.size()) {
+      int64_t v = order[head++];
+      keys.clear();
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        int64_t u = indices[e];
+        if (!visited[u]) {
+          keys.push_back(NeighborKey{
+              edge_weights ? edge_weights[e] : 1,
+              indptr[u + 1] - indptr[u],
+              u,
+          });
+        }
+      }
+      std::stable_sort(keys.begin(), keys.end());
+      for (const auto& k : keys) {
+        if (!visited[k.id]) {  // dedupe parallel edges, first occurrence
+          visited[k.id] = 1;
+          order.push_back(k.id);
+        }
+      }
+    }
+    cc_bounds.push_back(static_cast<int64_t>(order.size()));
+  }
+  if (static_cast<int64_t>(order.size()) != n) return 1;
+  // Reverse each component in place (the reference's mid-swap loop).
+  for (size_t c = 0; c + 1 < cc_bounds.size(); ++c) {
+    std::reverse(order.begin() + cc_bounds[c], order.begin() + cc_bounds[c + 1]);
+  }
+  std::memcpy(perm_out, order.data(), n * sizeof(int64_t));
+  return 0;
+}
+
+// Greedy contiguous packing: close a group when its accumulated nnz has
+// reached the budget before the next row. boundaries_out must have room
+// for n+1 entries; the group count is written to *num_groups_out.
+int tpu_spmv_hand_coarsen_boundaries(int64_t n, const int64_t* indptr,
+                                     int64_t nnz_budget,
+                                     int64_t* boundaries_out,
+                                     int64_t* num_groups_out) {
+  if (nnz_budget < 1) nnz_budget = 1;
+  int64_t count = 0;
+  boundaries_out[count++] = 0;
+  int64_t acc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (acc >= nnz_budget) {
+      boundaries_out[count++] = i;
+      acc = 0;
+    }
+    acc += indptr[i + 1] - indptr[i];
+  }
+  boundaries_out[count] = n;
+  *num_groups_out = count;
+  return 0;
+}
+
+// Symmetric permutation with per-row ascending column sort:
+// B = A[perm,:][:, perm] where perm is new->old. Output arrays must be
+// preallocated: indptr_out (n+1) int64, indices_out (nnz) int32,
+// data_out (nnz) float.
+int tpu_spmv_permute_symmetric(int64_t n, const int64_t* indptr,
+                               const int32_t* indices, const float* data,
+                               const int64_t* perm, int64_t* indptr_out,
+                               int32_t* indices_out, float* data_out) {
+  std::vector<int64_t> inv(n);
+  for (int64_t i = 0; i < n; ++i) inv[perm[i]] = i;
+  indptr_out[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = perm[i];
+    indptr_out[i + 1] = indptr_out[i] + (indptr[p + 1] - indptr[p]);
+  }
+  std::vector<std::pair<int32_t, float>> row;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = perm[i];
+    row.clear();
+    for (int64_t e = indptr[p]; e < indptr[p + 1]; ++e) {
+      row.emplace_back(static_cast<int32_t>(inv[indices[e]]), data[e]);
+    }
+    std::sort(row.begin(), row.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    int64_t out = indptr_out[i];
+    for (const auto& cv : row) {
+      indices_out[out] = cv.first;
+      data_out[out] = cv.second;
+      ++out;
+    }
+  }
+  return 0;
+}
+
+// Build the SELL slab scatter targets: for nonzero j of row r (rank t in
+// its row), dest_k[j] = koff[chunk(r)] + t and dest_l[j] = r % lanes.
+// Exists because the index arithmetic is the hot part of layout builds.
+int tpu_spmv_sell_targets(int64_t m, int64_t nnz, const int64_t* indptr,
+                          const int64_t* koff, int64_t lanes,
+                          int64_t* dest_k, int64_t* dest_l) {
+  for (int64_t r = 0; r < m; ++r) {
+    int64_t base = koff[r / lanes];
+    int64_t lane = r % lanes;
+    for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+      dest_k[e] = base + (e - indptr[r]);
+      dest_l[e] = lane;
+    }
+  }
+  (void)nnz;
+  return 0;
+}
+
+}  // extern "C"

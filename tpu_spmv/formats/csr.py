@@ -143,15 +143,27 @@ class CSRMatrix:
         perm = np.asarray(perm, dtype=np.int64)
         if perm.shape[0] != self.m or self.m != self.n:
             raise ValueError("symmetric permutation requires square matrix")
+        from tpu_spmv.reorder import native
+
+        if native.available():
+            indptr, indices, data = native.permute_symmetric(
+                self.indptr, self.indices, self.data, perm
+            )
+            return CSRMatrix(indptr, indices, data, self.shape)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(self.m, dtype=np.int64)
-        lengths = self.row_lengths[perm]
+        lengths = self.row_lengths[perm].astype(np.int64)
         new_indptr = np.zeros(self.m + 1, dtype=np.int64)
         np.cumsum(lengths, out=new_indptr[1:])
-        # Gather each permuted row's slice.
-        take = np.concatenate(
-            [np.arange(self.indptr[p], self.indptr[p + 1]) for p in perm]
-        ) if self.m else np.zeros(0, dtype=np.int64)
+        # Gather each permuted row's slice (vectorized range concatenation:
+        # global position j maps to old index starts[row(j)] + offset(j)).
+        starts = self.indptr[perm].astype(np.int64)
+        total = int(new_indptr[-1])
+        take = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(new_indptr[:-1], lengths)
+            + np.repeat(starts, lengths)
+        )
         new_cols = inv[self.indices[take]]
         new_vals = self.data[take]
         # Sort columns ascending within each row.

@@ -21,9 +21,9 @@ import dataclasses
 import numpy as np
 
 from tpu_spmv.formats.csr import CSRMatrix
-from tpu_spmv.reorder.coarsen import WeightedGraph, hand_coarsen, matching_coarsen
+from tpu_spmv import reorder
+from tpu_spmv.reorder.coarsen import WeightedGraph, matching_coarsen
 from tpu_spmv.reorder.compose import uncoarsen_compose
-from tpu_spmv.reorder.rcm import rcm
 
 
 @dataclasses.dataclass
@@ -102,7 +102,7 @@ class CSRkMatrix:
             budget_rows = int(sup_row_sizes[i - 1])
             if coarsen_type == "hand":
                 nnz_budget = budget_rows * g.nnz // max(g.n, 1)
-                map_ptr, coarse = hand_coarsen(
+                map_ptr, coarse = reorder.hand_coarsen(
                     g.indptr, g.indices, nnz_budget, g.edge_weights
                 )
             elif coarsen_type in ("random", "heavy", "light"):
@@ -126,7 +126,7 @@ class CSRkMatrix:
             else:
                 raise ValueError(f"unknown coarsen_type {coarsen_type!r}")
 
-            cperm = rcm(coarse.indptr, coarse.indices, coarse.edge_weights)
+            cperm = reorder.rcm(coarse.indptr, coarse.indices, coarse.edge_weights)
             coarse = coarse.renumbered(cperm)
             maps.append(map_ptr)
             coarse_perms.append(cperm)

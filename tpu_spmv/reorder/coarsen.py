@@ -57,15 +57,14 @@ class WeightedGraph:
         perm = np.asarray(perm, dtype=np.int64)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(perm.shape[0], dtype=np.int64)
-        lengths = np.diff(self.indptr)[perm]
+        lengths = np.diff(self.indptr)[perm].astype(np.int64)
         new_indptr = np.zeros(self.n + 1, dtype=np.int64)
         np.cumsum(lengths, out=new_indptr[1:])
+        starts = self.indptr[perm].astype(np.int64)
         take = (
-            np.concatenate(
-                [np.arange(self.indptr[p], self.indptr[p + 1]) for p in perm]
-            )
-            if self.n
-            else np.zeros(0, dtype=np.int64)
+            np.arange(int(new_indptr[-1]), dtype=np.int64)
+            - np.repeat(new_indptr[:-1], lengths)
+            + np.repeat(starts, lengths)
         )
         new_cols = inv[self.indices[take]]
         new_w = self.edge_weights[take]
