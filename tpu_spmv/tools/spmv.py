@@ -1,0 +1,92 @@
+"""SpMV benchmark CLI — the reference driver binaries' role.
+
+Role-equivalent of every `spmv.exe inputfile num_runs [sizes...]`
+benchmark binary (reference: spmv-csr/spmv.c:116-225, spmv-csrk/
+spmv.cpp:97-244): load a matrix, build the requested format, run the
+timed kernel, print TimeMin/TimeMax/TimeAvg and validate against the
+serial oracle through the permutation (`Number Wrong`).
+
+Timing uses the slope protocol (see tpu_spmv/bench/harness.py) since
+the reference's per-call protocol is invalid through this TPU tunnel.
+
+Usage:
+  python -m tpu_spmv.tools.spmv matrix.csr [num_runs] [srs [ssrs ...]] \
+      [--kernel sell|segsum|auto] [--k 1|2|3|4] [--synthetic NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("input", help=".csr/.csr3/.mtx file, or synthetic:<name>")
+    ap.add_argument("num_runs", nargs="?", type=int, default=20,
+                    help="timed iterations (slope reps-hi scales with it)")
+    ap.add_argument("sizes", nargs="*", type=int,
+                    help="super-row sizes per level (k-1 of them)")
+    ap.add_argument("--kernel", default="auto", choices=("auto", "sell", "segsum"))
+    ap.add_argument("--k", type=int, default=None,
+                    help="CSR-k depth; default 1 (plain) or len(sizes)+1")
+    ap.add_argument("--tol", type=float, default=0.01)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
+    from tpu_spmv.formats.csrk import CSRkMatrix
+    from tpu_spmv.formats.sell import SellSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
+    from tpu_spmv.tune.model import tpu_plan
+
+    if args.input.startswith("synthetic:"):
+        from tpu_spmv.bench import matrices
+
+        name = args.input.split(":", 1)[1]
+        mat = dict(matrices.suite("bench"), **matrices.suite("small"))[name]
+    else:
+        from tpu_spmv.tools.stats import load
+
+        mat = load(args.input)
+
+    k = args.k if args.k is not None else (len(args.sizes) + 1 if args.sizes else 1)
+    sizes = tuple(args.sizes) if args.sizes else tuple([16] * (k - 1))
+    ck = CSRkMatrix.build(mat, k=k, sup_row_sizes=sizes)
+    print(f"k={k} sizes={list(sizes)} rows={mat.m} nnz={mat.nnz}")
+
+    kernel = args.kernel
+    if kernel == "auto":
+        plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
+        kernel = plan.kernel
+        print(f"auto kernel: {kernel} ({plan.reason})")
+
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    xj = jnp.asarray(ck.set_x(x))
+    if kernel == "sell":
+        layout = SellSlabs.from_csr(ck.matrix)
+        fn = spmv_sell
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    else:
+        layout = SegsumLayout.from_csr(ck.matrix)
+        fn = spmv_segsum
+        bytes_per_nnz = 12.0
+
+    y = np.asarray(fn(layout, xj))
+    wrong, rel = validate(y, mat.matvec(x)[ck.perm], tol=args.tol)
+
+    res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
+    print(res.summary(), end="")
+    roof = roofline_nnzs(bytes_per_nnz)
+    print(f"nnz/s: {res.gnnzs * 1e9:.4g} ({100 * res.gnnzs * 1e9 / roof:.0f}% of roofline)")
+    print(f"Number Wrong: {wrong} ")
+    print(f"RelL2: {rel:.3g}")
+    return 0 if wrong == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Parameter/benchmark sweep runner — the run_scripts/ role.
+
+Role-equivalent of the reference's Python runner family (run_epyc.py:
+26-137, run_tuning.py, run_cuda_new.py): iterate kernels x matrices x
+super-row sizes, benchmark each configuration, and append CSV rows.
+The CSV is opened in append mode so interrupted sweeps resume
+(run_epyc.py:31,74's "a+" convention).
+
+Usage:
+  python -m tpu_spmv.tools.sweep --out results.csv \
+      --matrices lap2d_256 banded_100k --kernels sell segsum \
+      --srs 8 16 32 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import pathlib
+import sys
+import traceback
+
+import numpy as np
+
+CSV_FIELDS = [
+    "matrix", "kernel", "k", "srs", "rows", "nnz",
+    "time_min", "time_max", "time_avg", "gflops", "gnnzs",
+    "num_wrong", "rel_l2", "pad_ratio", "max_nb",
+]
+
+
+def _done_keys(path: pathlib.Path) -> set:
+    if not path.exists():
+        return set()
+    with open(path) as f:
+        return {
+            (r["matrix"], r["kernel"], r["k"], r["srs"])
+            for r in csv.DictReader(f)
+        }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="sweep.csv")
+    ap.add_argument("--scale", default="small", choices=("tiny", "small", "bench"))
+    ap.add_argument("--matrices", nargs="*", default=None)
+    ap.add_argument("--kernels", nargs="*", default=["sell", "segsum"])
+    ap.add_argument("--k", type=int, default=2)
+    ap.add_argument("--srs", nargs="*", type=int,
+                    default=[8, 16, 24, 32, 48, 64, 96, 128],
+                    help="super-row size grid (reference grid run_epyc.py:24)")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench import matrices as M
+    from tpu_spmv.bench.harness import bench_spmv, validate
+    from tpu_spmv.formats.csrk import CSRkMatrix
+    from tpu_spmv.formats.sell import SellSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
+
+    suite = M.suite(args.scale)
+    names = args.matrices or list(suite)
+    out = pathlib.Path(args.out)
+    done = _done_keys(out)
+    new_file = not out.exists()
+    with open(out, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        if new_file:
+            writer.writeheader()
+        for name in names:
+            mat = suite[name]
+            x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+            for kernel in args.kernels:
+                for srs in args.srs:
+                    key = (name, kernel, str(args.k), str(srs))
+                    if key in done:
+                        continue
+                    try:
+                        ck = CSRkMatrix.build(
+                            mat, k=args.k, sup_row_sizes=(srs,) * (args.k - 1)
+                        )
+                        xj = jnp.asarray(ck.set_x(x))
+                        if kernel == "sell":
+                            lay = SellSlabs.from_csr(ck.matrix)
+                            fn = spmv_sell
+                            pad, nb = lay.padding_ratio, lay.max_nb
+                        else:
+                            lay = SegsumLayout.from_csr(ck.matrix)
+                            fn = spmv_segsum
+                            pad, nb = 1.0, 0
+                        y = np.asarray(fn(lay, xj))
+                        wrong, rel = validate(y, mat.matvec(x)[ck.perm])
+                        r = bench_spmv(fn, lay, xj)
+                        row = {
+                            "matrix": name, "kernel": kernel, "k": args.k,
+                            "srs": srs, "rows": mat.m, "nnz": mat.nnz,
+                            "time_min": f"{r.time_min:.6g}",
+                            "time_max": f"{r.time_max:.6g}",
+                            "time_avg": f"{r.time_avg:.6g}",
+                            "gflops": f"{r.gflops:.4g}",
+                            "gnnzs": f"{r.gnnzs:.4g}",
+                            "num_wrong": wrong, "rel_l2": f"{rel:.3g}",
+                            "pad_ratio": f"{pad:.3f}", "max_nb": nb,
+                        }
+                    except Exception:
+                        traceback.print_exc()
+                        continue
+                    writer.writerow(row)
+                    f.flush()
+                    print(
+                        f"{name} {kernel} srs={srs}: {row['gflops']} GFLOP/s "
+                        f"wrong={wrong}"
+                    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

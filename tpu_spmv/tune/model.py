@@ -1,0 +1,135 @@
+"""Parameter models: density-based tuning.
+
+Two families:
+
+  * reference_gpu_params — the reference's published per-architecture
+    density models for CSR-3 super(-super)-row sizes, kept for
+    reformat-auto file compatibility and as priors
+    (volta: cuda-spmv-csrk/cuda/spmv-auto-volta.cu:132-158,
+     ampere: spmv-auto-ampere.cu:130-158,
+     mi100: hip/spmv-auto-mi100.cu:132-133,
+     legacy: helpers/csr3params.m:14-37).
+
+  * tpu_plan — the TPU analog: picks the kernel (Pallas SELL vs the
+    XLA segment-sum fallback) and layout knobs from matrix structure.
+    The SELL kernel's cost is ~(fixed + 1.7 cycles x gather-span) per
+    8x128 sub-tile, so the decision variable is the post-RCM column
+    span per 128-row chunk, not raw density.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+def reference_gpu_params(density: float, arch: str = "ampere") -> dict:
+    """(ssrs, srs, vec, veclevel, blockDims) from the density d = nnz/m."""
+    d = max(float(density), 1e-9)
+    ln = math.log(d)
+
+    def r(v):  # round-half-up like the reference's floor(x + 0.5)
+        return int(math.floor(v + 0.5))
+
+    if arch == "ampere":
+        ssrs, srs = r(9.175 - 1.32 * ln), r(20.5 - 3.5 * ln)
+        vec, veclevel, bx, by = False, 4, 8, 12
+        if 8.0 < d <= 16.0:
+            vec, srs = True, ssrs * 4
+        elif 16.0 < d <= 32.0:
+            vec, veclevel, by = True, 8, 8
+            ssrs = r(ssrs * 2.5)
+            srs = ssrs * 3
+        elif 32.0 < d <= 64.0:
+            vec, veclevel, by = True, 16, 4
+            ssrs *= 2
+            srs = ssrs * 2
+        elif d > 64.0:
+            vec, veclevel, by = True, 32, 2
+            ssrs = r(ssrs * 2.7)
+            srs = r(ssrs / 4)
+    elif arch == "volta":
+        ssrs, srs = r(8.89888 - 1.25 * ln), r(10.14618 - 1.5 * ln)
+        vec, veclevel, bx, by = False, 4, 8, 12
+        if 8.0 < d <= 16.0:
+            vec = True
+            ssrs = r(ssrs * 1.5)
+            srs = ssrs * 2
+        elif 16.0 < d <= 32.0:
+            vec, veclevel, by = True, 8, 8
+            ssrs *= 4
+            srs = ssrs >> 1
+        elif 32.0 < d <= 64.0:
+            vec, veclevel, by = True, 16, 4
+            ssrs *= 5
+            srs = ssrs >> 1
+        elif d > 64.0:
+            vec, veclevel, by = True, 32, 2
+            ssrs *= 5
+            srs = ssrs >> 1
+    elif arch == "mi100":
+        ssrs, srs = r(8.489 - 1.15 * ln), r(10.711 - 1.607 * ln)
+        vec, veclevel, bx, by = False, 4, 8, 12
+    elif arch == "legacy":
+        ssrs = r(3.333 + 20.0 / (d * max(ln, 1e-9)))
+        srs = r(0.667 * ssrs + 2.667)
+        vec, veclevel, bx, by = False, 4, 8, 12
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+    return {
+        "ssrs": max(ssrs, 1),
+        "srs": max(srs, 1),
+        "vec": vec,
+        "veclevel": veclevel,
+        "block_dims": (bx, by),
+    }
+
+
+@dataclasses.dataclass
+class TpuPlan:
+    kernel: str  # 'sell' | 'segsum'
+    tile_k: int
+    needs_rcm: bool
+    est_max_nb: float  # mean per-chunk span estimate driving the choice
+    reason: str
+
+
+# The SELL kernel gathers x block-by-block; beyond this span per chunk
+# the unrolled gather loop's compute exceeds any streaming win over the
+# XLA fallback, and the x window no longer fits cache-like reuse.
+_SPAN_LIMIT = 96
+
+
+def tpu_plan(mat, assume_rcm: bool = False) -> TpuPlan:
+    """Choose kernel + layout parameters from matrix structure.
+
+    mat: CSRMatrix (ideally already RCM'd; set assume_rcm if so).
+    """
+    from tpu_spmv.formats.sell import LANES
+
+    m = mat.m
+    lens = mat.row_lengths
+    bands = mat.row_bands()
+    # Estimate per-chunk gather span: chunk column extent ~ row band plus
+    # the diagonal drift across 128 rows (~128 for banded matrices).
+    est_span_cols = float(np.percentile(bands, 95)) + LANES if m else 1.0
+    est_nb = est_span_cols / LANES
+    needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
+
+    if est_nb > _SPAN_LIMIT:
+        return TpuPlan(
+            kernel="segsum",
+            tile_k=512,
+            needs_rcm=needs_rcm,
+            est_max_nb=est_nb,
+            reason=f"p95 chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}",
+        )
+    return TpuPlan(
+        kernel="sell",
+        tile_k=512,
+        needs_rcm=needs_rcm,
+        est_max_nb=est_nb,
+        reason=f"p95 chunk span ~{est_nb:.0f} blocks; SELL gather is compute-safe",
+    )
