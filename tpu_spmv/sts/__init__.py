@@ -1,0 +1,30 @@
+"""Sparse triangular solve (STS) subsystem.
+
+TPU-native re-expression of the reference's STS machinery, which is
+library-complete but driver-disabled there (reference:
+CSRk_Graph::putInCSRkFormat STS branch spmv-csrk/csrk.cpp:693-695,
+preprocessingForSTS csrk.cpp:1522-1966, incomplete_choloskey
+csrk.cpp:708-789, compute_b csrk.cpp:791-808, lowerSTS csrk.cpp:79-145,
+checkError csrk.cpp:809-834; disabled call site spmv-csrk/spmv.cpp:219-234).
+"""
+
+from tpu_spmv.sts.host import (
+    TriangularSystem,
+    build_sts,
+    compute_b,
+    find_levels,
+    greedy_color,
+    split_lu,
+)
+from tpu_spmv.sts.solve import lower_solve, lower_solve_reference
+
+__all__ = [
+    "TriangularSystem",
+    "build_sts",
+    "compute_b",
+    "find_levels",
+    "greedy_color",
+    "split_lu",
+    "lower_solve",
+    "lower_solve_reference",
+]

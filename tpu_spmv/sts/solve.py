@@ -1,0 +1,243 @@
+"""TPU lower-triangular solve over a pack-scheduled SELL layout.
+
+The reference solves packs sequentially with an OpenMP barrier between
+packs and row-parallel threads inside each pack (CSRk_Graph::lowerSTS,
+spmv-csrk/csrk.cpp:79-145). The TPU re-design exploits the fact that a
+Pallas grid on TPU executes sequentially on one core:
+
+  * rows are laid out pack-by-pack, each pack padded to 128-row chunks
+    (a chunk never straddles a pack boundary),
+  * strict-L is stored as SELL slabs over the padded rows, values
+    pre-scaled by 1/diag (division-free solve),
+  * ONE pallas_call streams all slab tiles; a VMEM accumulator carries
+    the running chunk dot-product across sub-tiles, and when the owning
+    chunk changes the kernel finalizes x[chunk] = b_scaled[chunk] - acc
+    into a VMEM-resident x that later sub-tiles gather from.
+
+Dependencies are honored by construction: chunk order refines pack
+order, and within a pack rows are mutually independent (tpu_spmv/sts/
+host.py invariant), so every gathered x block is already final.
+
+x stays fully VMEM-resident: systems up to ~1M rows per core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_spmv.formats.csr import CSRMatrix
+from tpu_spmv.formats.sell import LANES, SUBLANES, SellSlabs
+from tpu_spmv.sts.host import TriangularSystem
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LowerSolveLayout:
+    """Device arrays for the chunked lower solve."""
+
+    slabs: SellSlabs  # strict-L (scaled) over padded rows
+    b_scale: jax.Array  # (num_chunks+1, 128) b * inv_diag, padded
+    inv_diag: jax.Array  # (num_chunks+1, 128) for re-scaling new b vectors
+    pad_index: jax.Array  # (m,) padded position of each real row
+    m: int
+
+    def tree_flatten(self):
+        return (self.slabs, self.b_scale, self.inv_diag, self.pad_index), (self.m,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def build(cls, sys: TriangularSystem, b: np.ndarray) -> "LowerSolveLayout":
+        """Build from a host TriangularSystem and right-hand side b
+        (both in the system's permuted row order)."""
+        L = sys.lower
+        m = L.m
+        lens = L.row_lengths
+        if not np.all(lens >= 1):
+            raise ValueError("lower factor has an empty row (missing diagonal)")
+        # Columns are sorted ascending, so the diagonal is each row's last
+        # entry (the reference relies on the same invariant,
+        # csrk.cpp:86-88: val_L[num_edges_L[j+1]-1]).
+        diag_pos = L.indptr[1:].astype(np.int64) - 1
+        diag = L.data[diag_pos]
+        if np.any(diag == 0.0):
+            raise ValueError("zero diagonal entry; system is singular")
+        inv_diag = (1.0 / diag).astype(np.float32)
+
+        # Padded row numbering: each pack padded to a multiple of 128.
+        pack_sizes = np.diff(sys.pack_ptr)
+        padded_sizes = np.maximum(_round_up_arr(pack_sizes, LANES), LANES)
+        pad_start = np.zeros(sys.num_packs + 1, dtype=np.int64)
+        np.cumsum(padded_sizes, out=pad_start[1:])
+        m_pad = int(pad_start[-1])
+        row_pack = np.repeat(np.arange(sys.num_packs, dtype=np.int64), pack_sizes)
+        pad_index = pad_start[row_pack] + (
+            np.arange(m, dtype=np.int64) - sys.pack_ptr[row_pack]
+        )
+
+        # Strict lower (drop the diagonal = last entry per row), values
+        # scaled by the owning row's inv_diag, columns remapped to padded.
+        keep = np.ones(L.nnz, dtype=bool)
+        keep[diag_pos] = False
+        rows = np.repeat(np.arange(m, dtype=np.int64), lens)[keep]
+        cols = pad_index[L.indices[keep].astype(np.int64)]
+        vals = (L.data[keep].astype(np.float64) * inv_diag[rows]).astype(np.float32)
+        s_indptr = np.zeros(m_pad + 1, dtype=np.int64)
+        np.add.at(s_indptr, pad_index[rows] + 1, 1)
+        np.cumsum(s_indptr, out=s_indptr)
+        # Rows arrive grouped by original row but scattered to padded
+        # positions; since pad_index is strictly increasing the order is
+        # already row-major in padded space.
+        strictL = CSRMatrix(
+            s_indptr.astype(np.int32),
+            cols.astype(np.int32),
+            vals,
+            (m_pad, m_pad),
+        )
+        slabs = SellSlabs.from_csr(strictL)
+
+        num_chunks = slabs.num_chunks
+        bpad = np.zeros((num_chunks + 1) * LANES, dtype=np.float32)
+        dpad = np.zeros((num_chunks + 1) * LANES, dtype=np.float32)
+        bpad[pad_index] = np.asarray(b, dtype=np.float32) * inv_diag
+        dpad[pad_index] = inv_diag
+        return cls(
+            slabs=slabs,
+            b_scale=jnp.asarray(bpad.reshape(num_chunks + 1, LANES)),
+            inv_diag=jnp.asarray(dpad.reshape(num_chunks + 1, LANES)),
+            pad_index=jnp.asarray(pad_index, dtype=jnp.int32),
+            m=m,
+        )
+
+
+def _round_up_arr(a: np.ndarray, mult: int) -> np.ndarray:
+    return -(-a // mult) * mult
+
+
+def _make_solve_kernel(tile_k: int, max_nb: int, num_chunks: int):
+    subs_per_tile = tile_k // SUBLANES
+
+    def kernel(sub_b0, sub_chunk, vals_ref, cols_ref, b_ref, x_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.zeros_like(x_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(cols, LANES - 1)
+            blk = jax.lax.shift_right_logical(cols, 7)
+            b0 = sub_b0[g]
+            gath = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for i in range(max_nb):
+                b = b0 + i
+                xb = jnp.broadcast_to(x_ref[pl.ds(b, 1), :], (SUBLANES, LANES))
+                gathered = jnp.take_along_axis(
+                    xb, idx, axis=1, mode="promise_in_bounds"
+                )
+                gath = gath + jnp.where(blk == b, gathered, 0.0)
+            acc_ref[:] = acc_ref[:] + jnp.sum(
+                vals * gath, axis=0, keepdims=True
+            )
+
+            # Finalize the chunk when the next sub-tile has a new owner.
+            c = sub_chunk[g]
+            is_last = sub_chunk[g + 1] != c
+
+            @pl.when(is_last)
+            def _():
+                x_ref[pl.ds(c, 1), :] = b_ref[pl.ds(c, 1), :] - acc_ref[:]
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lower_solve(
+    layout: LowerSolveLayout, b_scale: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Solve L x = b. b_scale overrides the layout's baked-in scaled rhs
+    ((num_chunks+1, 128), = b_padded * inv_diag). Returns x (m,) in the
+    system's permuted row order."""
+    slabs = layout.slabs
+    if b_scale is None:
+        b_scale = layout.b_scale
+    total_k = int(slabs.vals.shape[0])
+    tile_k = min(512, total_k)
+    num_tiles = total_k // tile_k
+    num_chunks = slabs.num_chunks
+
+    # sub_chunk sentinel pad: one extra entry so the in-kernel lookahead
+    # sub_chunk[g+1] never reads out of bounds; the final real sub-tile
+    # always flushes (sentinel differs).
+    sub_chunk_ext = jnp.concatenate(
+        [slabs.sub_chunk, jnp.full((1,), num_chunks + 1, jnp.int32)]
+    )
+
+    # x buffer: num_chunks real blocks + 1 pad-chunk block + max_nb guard
+    # blocks for the static gather loop overrun.
+    x_blocks = num_chunks + 1 + slabs.max_nb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, b0, sc: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, b0, sc: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_scale, resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # x, resident
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+    )
+
+    x_pad = pl.pallas_call(
+        _make_solve_kernel(tile_k, slabs.max_nb, num_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * slabs.padded_nnz,
+            bytes_accessed=slabs.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(slabs.sub_b0, sub_chunk_ext, slabs.vals, slabs.cols, b_scale)
+
+    return x_pad.reshape(-1)[layout.pad_index]
+
+
+def lower_solve_reference(sys: TriangularSystem, b: np.ndarray) -> np.ndarray:
+    """Serial forward substitution oracle (reference lowerSTS k=2 semantics,
+    csrk.cpp:81-90), in float64 for a tight accuracy bar."""
+    L = sys.lower
+    x = np.zeros(L.m, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    indptr, indices, data = L.indptr, L.indices, L.data.astype(np.float64)
+    for i in range(L.m):
+        s, e = indptr[i], indptr[i + 1]
+        acc = 0.0
+        for j in range(s, e - 1):
+            acc += data[j] * x[indices[j]]
+        x[i] = (b[i] - acc) / data[e - 1]
+    return x
