@@ -43,6 +43,85 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
+    """Cluster-aligned slot assignment per 128-row chunk.
+
+    Ordinal slot assignment (j-th nonzero -> slot j) misaligns ranks when
+    row lengths vary: a boundary row missing its left stencil neighbor
+    shifts every later entry one slot left, so one slot mixes columns
+    from different band positions and the rank-windowed kernel's window
+    widens to the full bandwidth.
+
+    Instead, group each chunk's diagonal offsets (col - row) into
+    clusters split at gaps > `gap`, give each cluster a contiguous slot
+    range sized by the max per-row entry count in it, and place entries
+    at cluster_base + within-cluster ordinal. Slots then hold columns
+    from one narrow band position. Falls back to ordinal slots for
+    chunks where cluster widths would exceed cap_factor * max_row_len
+    (padding guard).
+
+    Returns (slots, kc): per-nonzero slot index and per-chunk slab
+    height (unquantized).
+    """
+    m = mat.m
+    num_chunks = max(_round_up(m, LANES) // LANES, 1)
+    indptr = mat.indptr.astype(np.int64)
+    cols = mat.indices.astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
+    d = cols - rows
+    ordinal = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
+        indptr[:-1], mat.row_lengths
+    )
+    slots = ordinal.copy()
+    kc = np.zeros(num_chunks, dtype=np.int64)
+
+    for c in range(num_chunks):
+        r0 = c * LANES
+        r1 = min(r0 + LANES, m)
+        e0, e1 = int(indptr[r0]), int(indptr[r1])
+        if e0 == e1:
+            kc[c] = 1
+            continue
+        dloc = d[e0:e1]
+        maxlen = int((indptr[r0 + 1 : r1 + 1] - indptr[r0:r1]).max())
+        order = np.argsort(dloc, kind="stable")
+        ds = dloc[order]
+        # Cluster boundaries at gaps > gap.
+        newc = np.empty(ds.shape[0], dtype=bool)
+        newc[0] = True
+        np.greater(ds[1:] - ds[:-1], gap, out=newc[1:])
+        cluster_of_sorted = np.cumsum(newc) - 1
+        ncl = int(cluster_of_sorted[-1]) + 1
+        cluster = np.empty(ds.shape[0], dtype=np.int64)
+        cluster[order] = cluster_of_sorted
+        # Per-row, per-cluster ordinal (entries are column-sorted, so
+        # same-cluster entries of one row are consecutive).
+        rloc = rows[e0:e1] - r0
+        key = rloc * ncl + cluster
+        # within = ordinal among equal keys (keys are non-decreasing
+        # within each row; rows are contiguous) -> reset counter on change.
+        change = np.empty(key.shape[0], dtype=bool)
+        change[0] = True
+        np.not_equal(key[1:], key[:-1], out=change[1:])
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(key.shape[0]), 0)
+        )
+        within = np.arange(key.shape[0]) - seg_start
+        # Cluster widths = max within + 1 per cluster.
+        width = np.zeros(ncl, dtype=np.int64)
+        np.maximum.at(width, cluster, within)
+        width += 1
+        total = int(width.sum())
+        if total > max(cap_factor * maxlen, maxlen + SUBLANES):
+            kc[c] = maxlen  # ordinal fallback for this chunk
+            continue
+        base = np.zeros(ncl, dtype=np.int64)
+        np.cumsum(width[:-1], out=base[1:])
+        slots[e0:e1] = base[cluster] + within
+        kc[c] = total
+    return slots, kc
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SellSlabs:
@@ -91,23 +170,34 @@ class SellSlabs:
         )
 
     @classmethod
-    def from_csr(cls, mat: CSRMatrix, tile_k: int = 512) -> "SellSlabs":
+    def from_csr(
+        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = False
+    ) -> "SellSlabs":
         """Build the layout from a (preferably RCM'd) CSR matrix.
 
         tile_k: slab sublanes per grid step; total_k is padded to it.
+        align: cluster-aligned slot assignment (see _aligned_slots) —
+        slightly more padding, much narrower per-sublane gather windows
+        for stencil-like structures (used by RankedSlabs).
         """
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
-        lens = np.zeros(num_chunks * LANES, dtype=np.int64)
-        lens[:m] = mat.row_lengths
-        chunk_lens = lens.reshape(num_chunks, LANES)
+        rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
+        if align:
+            ranks, kc_raw = _aligned_slots(mat)
+        else:
+            lens = np.zeros(num_chunks * LANES, dtype=np.int64)
+            lens[:m] = mat.row_lengths
+            kc_raw = lens.reshape(num_chunks, LANES).max(axis=1)
+            ranks = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
+                mat.indptr[:-1].astype(np.int64), mat.row_lengths
+            )
 
         # Per-chunk slab height, quantized to 8 sublanes (one VREG), at
         # least one sub-tile per chunk.
         kc = np.maximum(
-            (chunk_lens.max(axis=1) + SUBLANES - 1) // SUBLANES * SUBLANES,
-            SUBLANES,
+            (kc_raw + SUBLANES - 1) // SUBLANES * SUBLANES, SUBLANES
         )
         koff = np.zeros(num_chunks + 1, dtype=np.int64)
         np.cumsum(kc, out=koff[1:])
@@ -117,11 +207,8 @@ class SellSlabs:
         cols = np.full((total_k, LANES), -1, dtype=np.int64)
 
         # Scatter nonzeros: the j-th nonzero of row r lands at
-        # (koff[chunk(r)] + rank(j), lane(r)).
-        rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
-        ranks = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
-            mat.indptr[:-1].astype(np.int64), mat.row_lengths
-        )
+        # (koff[chunk(r)] + slot(j), lane(r)); slot = ordinal rank, or the
+        # cluster-aligned slot when align=True.
         dest_k = koff[rows // LANES] + ranks
         dest_l = rows % LANES
         vals[dest_k, dest_l] = mat.data
@@ -162,4 +249,143 @@ class SellSlabs:
             nnz=mat.nnz,
             num_chunks=num_chunks,
             max_nb=int(sub_nb.max()) if num_subtiles else 1,
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RankedSlabs:
+    """Rank-windowed SELL layout: per-SUBLANE gather windows.
+
+    The plain SellSlabs kernel loops over every x block a whole (8,128)
+    sub-tile touches — for a banded matrix that span is the full RCM
+    bandwidth (entries of one row sit at both band edges), e.g. 17 blocks
+    on a 1024x1024 grid Laplacian. But the k-th nonzeros (columns sorted
+    within each row) of 128 consecutive rows cluster into ~2 blocks, so
+    per-sublane windows shrink the gather loop by ~8x.
+
+    Storage:
+      vals      (total_k, 128) float32, identical to SellSlabs
+      lcols     (total_k, 128) int32 LOCAL column = col - 128*base of the
+                owning sublane's window (in [0, rank_nb*128))
+      sub_b0    (S,) int32 min window base over the sub-tile's sublanes
+      sub_dlo/hi (S,) int32: per-sublane window deltas from sub_b0, four
+                8-bit fields each (sublanes 0-3 in dlo, 4-7 in dhi).
+                Packed because scalar-prefetch arrays live in SMEM, where
+                a 2D (S, 8) array would be lane-padded ~16x past the 1MB
+                budget.
+      sub_chunk (S,) as in SellSlabs
+      rank_nb   static max window span in blocks across all sublanes
+    """
+
+    vals: jax.Array
+    lcols: jax.Array
+    sub_b0: jax.Array
+    sub_dlo: jax.Array
+    sub_dhi: jax.Array
+    sub_chunk: jax.Array
+    m: int
+    n: int
+    nnz: int
+    num_chunks: int
+    rank_nb: int
+
+    def tree_flatten(self):
+        children = (
+            self.vals, self.lcols, self.sub_b0, self.sub_dlo, self.sub_dhi,
+            self.sub_chunk,
+        )
+        aux = (self.m, self.n, self.nnz, self.num_chunks, self.rank_nb)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_subtiles(self) -> int:
+        return int(self.sub_b0.shape[0])
+
+    @property
+    def padded_nnz(self) -> int:
+        return int(self.vals.shape[0]) * LANES
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.padded_nnz / max(self.nnz, 1)
+
+    @property
+    def hbm_bytes(self) -> int:
+        return (
+            self.vals.size * 4
+            + self.lcols.size * self.lcols.dtype.itemsize
+            + 4 * (self.n + self.m)
+            + self.num_subtiles * LANES * 4
+        )
+
+    @classmethod
+    def from_csr(
+        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True
+    ) -> "RankedSlabs":
+        base = SellSlabs.from_csr(mat, tile_k=tile_k, align=align)
+        cols = np.asarray(base.cols)  # absolute, padding pre-filled in-window
+        vals = np.asarray(base.vals)
+        total_k = cols.shape[0]
+        S = total_k // SUBLANES
+
+        # Per-(sub-tile, sublane) block window over REAL slots only: padding
+        # slots were filled with the sub-tile's min block which may be far
+        # from this sublane's cluster, so recompute from vals != 0.
+        blocks = cols >> 7
+        real = vals != 0.0
+        big = np.where(real, blocks, np.iinfo(np.int32).max).reshape(
+            S, SUBLANES, LANES
+        )
+        sub_base = big.min(axis=2)
+        empty = sub_base == np.iinfo(np.int32).max
+        # Empty sublanes inherit the sub-tile's minimum real base (keeps
+        # packed deltas small); all-empty sub-tiles fall back to block 0.
+        tile_min = sub_base.min(axis=1)
+        tile_min[tile_min == np.iinfo(np.int32).max] = 0
+        sub_base = np.where(empty, tile_min[:, None], sub_base)
+        bmax = np.where(real, blocks, np.iinfo(np.int32).min).reshape(
+            S, SUBLANES, LANES
+        ).max(axis=2)
+        bmax[empty.reshape(S, SUBLANES)] = 0
+        rank_nb = int(np.maximum(bmax - sub_base, 0).max()) + 1 if S else 1
+
+        # Local columns; padding slots point at the sublane window's first
+        # entry (val=0 keeps them inert).
+        base_cols = np.repeat(sub_base.reshape(-1), LANES).reshape(total_k, LANES)
+        lcols = np.where(real, cols - (base_cols << 7), 0).astype(np.int32)
+        assert lcols.min() >= 0 and lcols.max() < rank_nb * LANES
+
+        # Pack per-sublane deltas into two int32 words per sub-tile.
+        sub_b0 = sub_base.min(axis=1)
+        deltas = sub_base - sub_b0[:, None]
+        if deltas.size and deltas.max() > 255:
+            raise ValueError(
+                "sub-tile block span exceeds the packed-delta range (256 "
+                "blocks); use the plain SellSlabs kernel for this matrix"
+            )
+        deltas = deltas.astype(np.uint32)
+        sub_dlo = np.zeros(S, dtype=np.uint32)
+        sub_dhi = np.zeros(S, dtype=np.uint32)
+        for r in range(4):
+            sub_dlo |= deltas[:, r] << (8 * r)
+            sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
+        as32 = lambda a: jnp.asarray(a.view(np.int32) if a.dtype == np.uint32 else a,
+                                     dtype=jnp.int32)
+        return cls(
+            vals=jnp.asarray(vals),
+            lcols=jnp.asarray(lcols),
+            sub_b0=as32(sub_b0.astype(np.int32)),
+            sub_dlo=as32(sub_dlo),
+            sub_dhi=as32(sub_dhi),
+            sub_chunk=base.sub_chunk,
+            m=base.m,
+            n=base.n,
+            nnz=base.nnz,
+            num_chunks=base.num_chunks,
+            rank_nb=rank_nb,
         )

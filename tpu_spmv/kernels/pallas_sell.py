@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_spmv.formats.sell import LANES, SUBLANES, SellSlabs
+from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs, SellSlabs
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,6 +122,107 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
     )(layout.sub_b0, layout.sub_nb, layout.vals, layout.cols, x2d)
 
     # Coarsest reduction level: chunk totals from sub-tile partials.
+    chunk_sums = jax.ops.segment_sum(
+        partials,
+        layout.sub_chunk,
+        num_segments=layout.num_chunks + 1,
+        indices_are_sorted=True,
+    )
+    return chunk_sums[:-1].reshape(-1)[: layout.m]
+
+
+def _make_ranked_kernel(tile_k: int, rank_nb: int):
+    """Rank-windowed kernel: per-sublane x windows (see RankedSlabs).
+
+    Per sub-tile, iteration i builds an (8,128) window whose sublane s is
+    x block sub_base[g,s]+i (8 dynamic VMEM loads), then one 128-lane
+    gather serves all 8 sublanes at once. rank_nb is ~2 after RCM vs the
+    sub-tile-wide span (~bandwidth/128) the plain kernel loops over.
+    """
+    subs_per_tile = tile_k // SUBLANES
+
+    def kernel(sub_b0, sub_dlo, sub_dhi, vals_ref, lcols_ref, x_ref, part_ref):
+        t = pl.program_id(0)
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            sel = jax.lax.shift_right_logical(lcols, 7)
+            b0 = sub_b0[g]
+            dlo = sub_dlo[g]
+            dhi = sub_dhi[g]
+            bases = [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dlo, 8 * r), 255
+                )
+                for r in range(4)
+            ] + [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dhi, 8 * r), 255
+                )
+                for r in range(4)
+            ]
+            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for i in range(rank_nb):
+                xw = jnp.concatenate(
+                    [x_ref[pl.ds(bases[r] + i, 1), :] for r in range(SUBLANES)],
+                    axis=0,
+                )
+                gathered = jnp.take_along_axis(
+                    xw, idx, axis=1, mode="promise_in_bounds"
+                )
+                acc = acc + jnp.where(sel == i, gathered, 0.0)
+            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmv_ranked(
+    layout: RankedSlabs, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x with A in rank-windowed SELL layout."""
+    total_k = int(layout.vals.shape[0])
+    tile_k = min(512, total_k)
+    num_tiles = total_k // tile_k
+
+    n_pad = _round_up(max(layout.n, LANES), LANES) + layout.rank_nb * LANES
+    x2d = jnp.zeros((n_pad // LANES, LANES), jnp.float32)
+    x2d = jax.lax.dynamic_update_slice(
+        x2d.reshape(-1), x.astype(jnp.float32), (0,)
+    ).reshape(n_pad // LANES, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x, fully resident
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_k // SUBLANES, LANES), lambda t, *_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    partials = pl.pallas_call(
+        _make_ranked_kernel(tile_k, layout.rank_nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.padded_nnz,
+            bytes_accessed=layout.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(layout.sub_b0, layout.sub_dlo, layout.sub_dhi, layout.vals, layout.lcols, x2d)
+
     chunk_sums = jax.ops.segment_sum(
         partials,
         layout.sub_chunk,

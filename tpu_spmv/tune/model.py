@@ -89,10 +89,11 @@ def reference_gpu_params(density: float, arch: str = "ampere") -> dict:
 
 @dataclasses.dataclass
 class TpuPlan:
-    kernel: str  # 'sell' | 'segsum'
+    kernel: str  # 'ranked' | 'sell' | 'segsum'
     tile_k: int
     needs_rcm: bool
-    est_max_nb: float  # mean per-chunk span estimate driving the choice
+    est_max_nb: float  # per-chunk span estimate (plain-kernel loop count)
+    est_rank_nb: float  # per-rank span estimate (ranked-kernel loop count)
     reason: str
 
 
@@ -100,36 +101,97 @@ class TpuPlan:
 # the unrolled gather loop's compute exceeds any streaming win over the
 # XLA fallback, and the x window no longer fits cache-like reuse.
 _SPAN_LIMIT = 96
+# Per gather iteration, the ranked kernel costs ~3x the plain kernel's
+# ops (8 window loads vs a hoisted broadcast), so plain wins when the
+# whole sub-tile span is tiny.
+_PLAIN_WINS_NB = 3
+# Packed-delta field width (see RankedSlabs) and a sanity cap on the
+# per-rank loop.
+_RANKED_LIMIT = 32
 
 
-def tpu_plan(mat, assume_rcm: bool = False) -> TpuPlan:
-    """Choose kernel + layout parameters from matrix structure.
+def exact_rank_nb(mat) -> tuple[int, int]:
+    """(chunk span, per-rank span) in x blocks, exact, O(nnz) NumPy.
 
-    mat: CSRMatrix (ideally already RCM'd; set assume_rcm if so).
+    chunk span drives the plain SELL kernel's gather loop; per-rank span
+    drives the rank-windowed kernel's (the k-th nonzeros of a 128-row
+    chunk cluster tightly after RCM).
     """
     from tpu_spmv.formats.sell import LANES
 
     m = mat.m
-    lens = mat.row_lengths
+    lens = mat.row_lengths.astype(np.int64)
+    if mat.nnz == 0 or m == 0:
+        return 1, 1
+    maxlen = int(lens.max())
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    ranks = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
+        mat.indptr[:-1].astype(np.int64), lens
+    )
+    blocks = mat.indices.astype(np.int64) >> 7
+    chunks = rows // LANES
+    nchunks = int(chunks.max()) + 1
+
+    key = chunks * maxlen + ranks
+    lo = np.full(nchunks * maxlen, np.iinfo(np.int64).max)
+    hi = np.full(nchunks * maxlen, -1)
+    np.minimum.at(lo, key, blocks)
+    np.maximum.at(hi, key, blocks)
+    used = hi >= 0
+    rank_nb = int((hi[used] - lo[used]).max()) + 1 if used.any() else 1
+
+    clo = np.full(nchunks, np.iinfo(np.int64).max)
+    chi = np.full(nchunks, -1)
+    np.minimum.at(clo, chunks, blocks)
+    np.maximum.at(chi, chunks, blocks)
+    cused = chi >= 0
+    chunk_nb = int((chi[cused] - clo[cused]).max()) + 1 if cused.any() else 1
+    return chunk_nb, rank_nb
+
+
+def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
+    """Choose kernel + layout parameters from matrix structure.
+
+    mat: CSRMatrix (ideally already RCM'd; set assume_rcm if so).
+    exact=True measures the real spans (O(nnz)); False estimates from
+    band percentiles only.
+    """
+    from tpu_spmv.formats.sell import LANES
+
+    m = mat.m
     bands = mat.row_bands()
-    # Estimate per-chunk gather span: chunk column extent ~ row band plus
-    # the diagonal drift across 128 rows (~128 for banded matrices).
     est_span_cols = float(np.percentile(bands, 95)) + LANES if m else 1.0
     est_nb = est_span_cols / LANES
+    est_rank = est_nb
+    if exact and mat.nnz and int(mat.row_lengths.max()) <= 2048:
+        chunk_nb, rank_nb = exact_rank_nb(mat)
+        est_nb, est_rank = float(chunk_nb), float(rank_nb)
     needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
 
-    if est_nb > _SPAN_LIMIT:
-        return TpuPlan(
-            kernel="segsum",
-            tile_k=512,
-            needs_rcm=needs_rcm,
-            est_max_nb=est_nb,
-            reason=f"p95 chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}",
+    if est_nb <= _PLAIN_WINS_NB:
+        kernel, reason = "sell", (
+            f"chunk span {est_nb:.0f} blocks; plain gather loop is cheapest"
+        )
+    elif est_rank <= _RANKED_LIMIT and est_nb <= 256:
+        kernel, reason = "ranked", (
+            f"rank span {est_rank:.0f} vs chunk span {est_nb:.0f} blocks; "
+            "per-sublane windows win"
+        )
+    elif est_nb <= _SPAN_LIMIT:
+        kernel, reason = "sell", (
+            f"chunk span {est_nb:.0f} blocks; rank windows too wide "
+            f"({est_rank:.0f})"
+        )
+    else:
+        kernel, reason = "segsum", (
+            f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}; "
+            "falling back to XLA segment-sum"
         )
     return TpuPlan(
-        kernel="sell",
+        kernel=kernel,
         tile_k=512,
         needs_rcm=needs_rcm,
         est_max_nb=est_nb,
-        reason=f"p95 chunk span ~{est_nb:.0f} blocks; SELL gather is compute-safe",
+        est_rank_nb=est_rank,
+        reason=reason,
     )
