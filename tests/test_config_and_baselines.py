@@ -1,0 +1,95 @@
+"""Config file parsing, BCOO baseline parity, analyzers, kernel planner."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+from tpu_spmv.config import RunConfig
+from tpu_spmv.kernels.bcoo import BCOOLayout, spmv_bcoo
+from tpu_spmv.tools.analyze import format_overheads, load_balance
+from tpu_spmv.tune.model import exact_rank_nb, tpu_plan
+
+
+def test_config_spmv_roundtrip(tmp_path):
+    p = tmp_path / "configSpMV.txt"
+    # The reference's format: kernelType coarsenType k supRowSizes...
+    # (readConfigFile, spmv-csrk/csrk.cpp:15-54)
+    p.write_text("SpMV HAND 3 8 16\n")
+    cfg = RunConfig.parse_file(str(p))
+    assert cfg.kernel_type == "SpMV"
+    assert cfg.coarsen_type == "hand"
+    assert cfg.k == 3
+    assert cfg.sup_row_sizes == (8, 16)
+    out = tmp_path / "out.txt"
+    cfg.write_file(str(out))
+    assert RunConfig.parse_file(str(out)) == cfg
+
+
+def test_config_sts():
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "configSTS.txt")
+        with open(p, "w") as f:
+            f.write("STS COLOR HAND 3 32\n")
+        cfg = RunConfig.parse_file(p)
+        assert cfg.kernel_type == "STS"
+        assert cfg.ordering_type == "COLOR"
+        assert cfg.k == 3
+        assert cfg.sup_row_sizes == (32,)
+
+
+def test_config_env(monkeypatch):
+    monkeypatch.setenv("TPU_SPMV_KERNEL", "ranked")
+    monkeypatch.setenv("TPU_SPMV_SUP_ROW_SIZES", "8,16")
+    cfg = RunConfig.from_env()
+    assert cfg.kernel == "ranked"
+    assert cfg.sup_row_sizes == (8, 16)
+
+
+def test_bcoo_matches_oracle():
+    mat = random_banded(400, 30, 6, seed=1)
+    lay = BCOOLayout.from_csr(mat)
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_bcoo(lay, jnp.asarray(x)))
+    y_ref = mat.matvec(x)
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_format_overheads_keys():
+    mat = laplacian_2d(16)
+    out = format_overheads(mat, k=3, sup_row_sizes=(4, 4))
+    # Reference formulas (helpers/calculate_overhead.m:5-13).
+    assert out["coo"] == 3 * mat.nnz * 4
+    assert out["csr"] == (mat.m + 1 + 2 * mat.nnz) * 4
+    assert out["csr2"] > out["csr"]
+    assert out["csr3"] > out["csr2"]
+    assert out["sell"] > 0
+
+
+def test_load_balance_keys():
+    mat = random_banded(600, 40, 8, seed=2)
+    lb = load_balance(mat)
+    assert lb["subtile_nnz"]["max"] >= lb["subtile_nnz"]["avg"]
+    assert lb["num_subtiles"] > 0
+
+
+def test_exact_rank_nb_banded_vs_general():
+    banded = laplacian_2d(48)  # natural order: band = 48
+    chunk_nb, rank_nb = exact_rank_nb(banded)
+    assert rank_nb <= chunk_nb
+    assert rank_nb <= 3  # k-th nonzeros cluster tightly on a stencil
+
+    general = random_general(2000, 6, seed=3)
+    _, rank_general = exact_rank_nb(general)
+    assert rank_general > 3  # scattered pattern: no rank clustering
+
+
+def test_tpu_plan_kernel_choice():
+    assert tpu_plan(laplacian_2d(16)).kernel == "sell"  # tiny span
+    wide = random_banded(300_000, 1500, 8, seed=1)
+    plan = tpu_plan(wide, assume_rcm=True)
+    assert plan.kernel == "ranked"  # wide band, tight ranks
+    scattered = random_general(300_000, 8, seed=2)
+    assert tpu_plan(scattered, assume_rcm=True).kernel == "segsum"

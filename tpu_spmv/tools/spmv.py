@@ -22,6 +22,18 @@ import sys
 import numpy as np
 
 
+def load_input(spec: str):
+    """Load a matrix from a file path or a `synthetic:<name>` spec."""
+    if spec.startswith("synthetic:"):
+        from tpu_spmv.bench import matrices
+
+        name = spec.split(":", 1)[1]
+        return dict(matrices.suite("bench"), **matrices.suite("small"))[name]
+    from tpu_spmv.tools.stats import load
+
+    return load(spec)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("input", help=".csr/.csr3/.mtx file, or synthetic:<name>")
@@ -29,7 +41,10 @@ def main(argv=None):
                     help="timed iterations (slope reps-hi scales with it)")
     ap.add_argument("sizes", nargs="*", type=int,
                     help="super-row sizes per level (k-1 of them)")
-    ap.add_argument("--kernel", default="auto", choices=("auto", "sell", "segsum"))
+    ap.add_argument(
+        "--kernel", default="auto",
+        choices=("auto", "sell", "ranked", "segsum", "bcoo"),
+    )
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
     ap.add_argument("--tol", type=float, default=0.01)
@@ -39,20 +54,13 @@ def main(argv=None):
 
     from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
     from tpu_spmv.formats.csrk import CSRkMatrix
-    from tpu_spmv.formats.sell import SellSlabs
-    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.formats.sell import RankedSlabs, SellSlabs
+    from tpu_spmv.kernels.bcoo import BCOOLayout, spmv_bcoo
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
     from tpu_spmv.tune.model import tpu_plan
 
-    if args.input.startswith("synthetic:"):
-        from tpu_spmv.bench import matrices
-
-        name = args.input.split(":", 1)[1]
-        mat = dict(matrices.suite("bench"), **matrices.suite("small"))[name]
-    else:
-        from tpu_spmv.tools.stats import load
-
-        mat = load(args.input)
+    mat = load_input(args.input)
 
     k = args.k if args.k is not None else (len(args.sizes) + 1 if args.sizes else 1)
     sizes = tuple(args.sizes) if args.sizes else tuple([16] * (k - 1))
@@ -71,6 +79,14 @@ def main(argv=None):
         layout = SellSlabs.from_csr(ck.matrix)
         fn = spmv_sell
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "ranked":
+        layout = RankedSlabs.from_csr(ck.matrix)
+        fn = spmv_ranked
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "bcoo":
+        layout = BCOOLayout.from_csr(ck.matrix)
+        fn = spmv_bcoo
+        bytes_per_nnz = 12.0
     else:
         layout = SegsumLayout.from_csr(ck.matrix)
         fn = spmv_segsum
