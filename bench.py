@@ -24,10 +24,11 @@ def main():
 
     from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
     from tpu_spmv.bench.matrices import laplacian_2d
-    from tpu_spmv.formats.sell import SellSlabs
-    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.formats.sell import RankedSlabs, SellSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
     from tpu_spmv.reorder.rcm import rcm
+    from tpu_spmv.tune.model import tpu_plan
 
     mat = laplacian_2d(1024)  # 1.05M rows, 5.2M nnz
     perm = None
@@ -43,17 +44,24 @@ def main():
     xj = jnp.asarray(x)
     y_oracle = mat.matvec(x)
 
-    layout = SellSlabs.from_csr(mat)
-    y = np.asarray(spmv_sell(layout, xj))
+    plan = tpu_plan(mat, assume_rcm=True)
+    if plan.kernel == "ranked":
+        layout = RankedSlabs.from_csr(mat)
+        fn = spmv_ranked
+    else:
+        layout = SellSlabs.from_csr(mat)
+        fn = spmv_sell
+    y = np.asarray(fn(layout, xj))
     wrong, rel = validate(y, y_oracle)
-    flag = bench_spmv(spmv_sell, layout, xj)
+    flag = bench_spmv(fn, layout, xj)
 
     seg = SegsumLayout.from_csr(mat)
     base = bench_spmv(spmv_segsum, seg, xj, reps_lo=2, reps_hi=10)
 
     roof = roofline_nnzs(layout.hbm_bytes / max(mat.nnz, 1))
     print(
-        f"# flagship: {flag.gflops:.1f} GFLOP/s ({flag.gnnzs:.1f} Gnnz/s, "
+        f"# flagship [{plan.kernel}]: {flag.gflops:.1f} GFLOP/s "
+        f"({flag.gnnzs:.1f} Gnnz/s, "
         f"{100 * flag.gnnzs * 1e9 / roof:.0f}% layout roofline) | "
         f"baseline segsum: {base.gflops:.2f} GFLOP/s | "
         f"wrong={wrong} relL2={rel:.1e} pad={layout.padding_ratio:.2f}",

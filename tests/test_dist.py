@@ -54,6 +54,42 @@ def test_cg_converges_distributed():
     assert resid < 1e-4, resid
 
 
+@pytest.mark.parametrize("mode", ["auto", "never"])
+def test_halo_and_allgather_agree(mode):
+    mesh = _mesh_or_skip(4)
+    mat = random_banded(2500, 50, 8, seed=2)
+    lay = ShardedSell.build(mat, 4, halo=mode).device_put(mesh)
+    if mode == "auto":
+        assert lay.halo > 0  # banded: neighbor halo engaged
+    else:
+        assert lay.halo == 0
+    x = np.random.default_rng(1).standard_normal(mat.n).astype(np.float32)
+    xj = _shard_vec(x, lay.padded_m, mesh)
+    y = np.asarray(spmv_sharded(lay, xj, mesh))[: mat.m]
+    y_ref = mat.matvec(x)
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_halo_fallback_on_wide_coupling():
+    # A matrix with a coupling entry reaching across all shards must fall
+    # back to all-gather. (Needs m >> rows_per_shard's 1024-row floor so
+    # the reach actually exceeds one shard.)
+    mat = random_banded(16384, 40, 6, seed=3)
+    import tpu_spmv.formats.csr as csrmod
+
+    # Add one far coupling entry: row 0 <-> last column.
+    indptr = mat.indptr.astype(np.int64)
+    indices = np.concatenate([[mat.m - 1], mat.indices]).astype(np.int32)
+    data = np.concatenate([[1.0], mat.data]).astype(np.float32)
+    indptr = indptr.copy()
+    indptr[1:] += 1
+    wide = csrmod.CSRMatrix(indptr.astype(np.int32), indices, data, mat.shape)
+    lay = ShardedSell.build(wide, 4)
+    assert lay.halo == 0
+    with pytest.raises(ValueError):
+        ShardedSell.build(wide, 4, halo="always")
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
 

@@ -7,10 +7,13 @@ NCCL anywhere); this subsystem is net-new, designed for TPU ICI:
     distributed analog of CSR-k's coarsest level (each device owns a
     contiguous super-block of RCM'd rows),
   * x is row-sharded like y; each device needs a window of x covering
-    its columns. After RCM the window is narrow, but round 1 uses a
-    full all-gather of x over ICI (correct for any structure); the
-    banded ppermute halo exchange is the planned optimization,
-  * each device runs the single-chip Pallas SELL kernel on its block.
+    its columns. After RCM that window is the device's own rows plus a
+    narrow band overlap, so the default exchange is a neighbor
+    `ppermute` halo (O(bandwidth) bytes over ICI); matrices whose
+    columns reach beyond the neighbor shards fall back to a full
+    all-gather automatically (correct for any structure),
+  * each device runs the single-chip Pallas SELL kernel on its block,
+    with columns pre-shifted into halo-window coordinates at build time.
 
 Built on shard_map so the collective schedule is explicit and XLA can
 overlap it with the local gather set-up.
@@ -50,7 +53,8 @@ class ShardedSell:
     """
 
     vals: jax.Array  # (D, total_k, 128)
-    cols: jax.Array  # (D, total_k, 128) — column ids are GLOBAL
+    cols: jax.Array  # (D, total_k, 128) — GLOBAL ids (all-gather mode) or
+    #                   halo-window-local ids (halo mode)
     sub_b0: jax.Array  # (D, S)
     sub_nb: jax.Array  # (D, S)
     sub_chunk: jax.Array  # (D, S)
@@ -61,6 +65,7 @@ class ShardedSell:
     num_chunks_local: int
     max_nb: int
     n_devices: int
+    halo: int = 0  # halo width in rows (0 => all-gather exchange)
 
     def tree_flatten(self):
         children = (self.vals, self.cols, self.sub_b0, self.sub_nb, self.sub_chunk)
@@ -72,6 +77,7 @@ class ShardedSell:
             self.num_chunks_local,
             self.max_nb,
             self.n_devices,
+            self.halo,
         )
         return children, aux
 
@@ -80,6 +86,9 @@ class ShardedSell:
         return cls(*children, *aux)
 
     def _local_layout_struct(self, vals, cols, sub_b0, sub_nb, sub_chunk) -> SellSlabs:
+        local_n = (
+            self.rows_per_shard + 2 * self.halo if self.halo else self.n
+        )
         return SellSlabs(
             vals=vals,
             cols=cols,
@@ -87,17 +96,46 @@ class ShardedSell:
             sub_nb=sub_nb,
             sub_chunk=sub_chunk,
             m=self.rows_per_shard,
-            n=self.n,
+            n=local_n,
             nnz=self.nnz,  # only used for stats
             num_chunks=self.num_chunks_local,
             max_nb=self.max_nb,
         )
 
     @classmethod
-    def build(cls, mat: CSRMatrix, n_devices: int) -> "ShardedSell":
-        """Partition rows into n_devices equal blocks and build layouts."""
+    def build(cls, mat: CSRMatrix, n_devices: int, halo: str = "auto") -> "ShardedSell":
+        """Partition rows into n_devices equal blocks and build layouts.
+
+        halo: "auto" uses the neighbor-halo exchange when every shard's
+        columns stay within its immediate neighbors (the RCM-banded
+        case), falling back to all-gather otherwise; "never" forces
+        all-gather; "always" asserts the banded condition.
+        """
         m, n = mat.shape
         rows_per_shard = _round_up(_round_up(m, n_devices) // n_devices, 8 * LANES)
+
+        # Per-shard column extent -> halo width (in rows beyond the shard).
+        halo_rows = 0
+        if halo != "never" and m == n and n_devices > 1:
+            reach = 0
+            for d in range(n_devices):
+                r0 = min(d * rows_per_shard, m)
+                r1 = min((d + 1) * rows_per_shard, m)
+                cs = mat.indices[mat.indptr[r0] : mat.indptr[r1]]
+                if cs.size:
+                    reach = max(
+                        reach,
+                        int(r0 - cs.min()),
+                        int(int(cs.max()) + 1 - r1),
+                    )
+            if reach <= rows_per_shard:
+                halo_rows = _round_up(max(reach, LANES), LANES)
+            elif halo == "always":
+                raise ValueError(
+                    f"halo exchange requested but columns reach {reach} rows "
+                    f"past the shard (> rows_per_shard={rows_per_shard})"
+                )
+
         shards = []
         for d in range(n_devices):
             r0 = min(d * rows_per_shard, m)
@@ -113,11 +151,17 @@ class ShardedSell:
                 sl_indptr = np.concatenate(
                     [sl_indptr, np.full(pad_rows, sl_indptr[-1], dtype=np.int64)]
                 )
+            cols_d = mat.indices[mat.indptr[r0] : mat.indptr[r1]].astype(np.int64)
+            if halo_rows:
+                # Shift into halo-window coordinates: window =
+                # [r0 - halo, r1 + halo), zero-filled beyond the matrix.
+                cols_d = cols_d - (r0 - halo_rows)
+            shard_n = rows_per_shard + 2 * halo_rows if halo_rows else n
             block = CSRMatrix(
                 sl_indptr.astype(np.int32),
-                mat.indices[mat.indptr[r0] : mat.indptr[r1]],
+                cols_d.astype(np.int32),
                 mat.data[mat.indptr[r0] : mat.indptr[r1]],
-                (rows_per_shard, n),
+                (rows_per_shard, shard_n),
             )
             shards.append(SellSlabs.from_csr(block))
 
@@ -156,6 +200,7 @@ class ShardedSell:
             num_chunks_local=num_chunks_local,
             max_nb=max_nb,
             n_devices=n_devices,
+            halo=halo_rows,
         )
 
     def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedSell":
@@ -175,6 +220,7 @@ class ShardedSell:
             num_chunks_local=self.num_chunks_local,
             max_nb=self.max_nb,
             n_devices=self.n_devices,
+            halo=self.halo,
         )
 
     @property
@@ -198,15 +244,29 @@ def spmv_sharded(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    D = layout.n_devices
+    H = layout.halo
 
     def local(vals, cols, sub_b0, sub_nb, sub_chunk, x_shard):
-        # Collect the full x over ICI; narrow halo exchange is a planned
-        # optimization for banded structures.
-        x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: layout.n]
+        if H:
+            # Neighbor halo exchange over ICI: each device receives its
+            # left neighbor's tail and right neighbor's head (edge
+            # devices get ppermute's zero fill, matching the window's
+            # zero padding beyond the matrix).
+            from_left = jax.lax.ppermute(
+                x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
+            )
+            from_right = jax.lax.ppermute(
+                x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
+            )
+            x_in = jnp.concatenate([from_left, x_shard, from_right])
+        else:
+            # Full collect over ICI (general structure fallback).
+            x_in = jax.lax.all_gather(x_shard, axis, tiled=True)[: layout.n]
         local_layout = layout._local_layout_struct(
             vals[0], cols[0], sub_b0[0], sub_nb[0], sub_chunk[0]
         )
-        y_local = spmv_sell(local_layout, x_full, interpret=interpret)
+        y_local = spmv_sell(local_layout, x_in, interpret=interpret)
         return y_local[None]
 
     fn = jax.shard_map(

@@ -90,6 +90,15 @@ def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
         newc = np.empty(ds.shape[0], dtype=bool)
         newc[0] = True
         np.greater(ds[1:] - ds[:-1], gap, out=newc[1:])
+        coarse = np.cumsum(newc) - 1
+        # Subdivide each cluster into 64-column bins so every slot's
+        # column span stays <= 64: with 64-granular window bases a slot
+        # then always fits ONE 128-lane gather window (RankedSlabs
+        # rank_nb == 1) regardless of alignment.
+        cmin = np.zeros(int(coarse[-1]) + 1, dtype=dloc.dtype)
+        cmin[coarse[newc]] = ds[newc]
+        bins = (ds - cmin[coarse]) >> 6
+        newc |= np.concatenate(([False], bins[1:] != bins[:-1]))
         cluster_of_sorted = np.cumsum(newc) - 1
         ncl = int(cluster_of_sorted[-1]) + 1
         cluster = np.empty(ds.shape[0], dtype=np.int64)
@@ -264,18 +273,24 @@ class RankedSlabs:
     within each row) of 128 consecutive rows cluster into ~2 blocks, so
     per-sublane windows shrink the gather loop by ~8x.
 
+    A slot's column span is bounded by the 128-row drift within its
+    chunk plus the 64-wide offset bin (_aligned_slots), so the gather
+    loop runs at most 3 and typically 2 iterations; it cannot reach 1
+    with 128-row chunks (row drift alone spans a full block).
+
     Storage:
       vals      (total_k, 128) float32, identical to SellSlabs
-      lcols     (total_k, 128) int32 LOCAL column = col - 128*base of the
-                owning sublane's window (in [0, rank_nb*128))
+      lcols     (total_k, 128) int32 LOCAL column = col - 128*base of
+                the owning sublane's window (iteration i of the kernel
+                serves lcols in [128i, 128(i+1)))
       sub_b0    (S,) int32 min window base over the sub-tile's sublanes
-      sub_dlo/hi (S,) int32: per-sublane window deltas from sub_b0, four
+      sub_dlo/hi (S,) int32: per-sublane base deltas from sub_b0, four
                 8-bit fields each (sublanes 0-3 in dlo, 4-7 in dhi).
                 Packed because scalar-prefetch arrays live in SMEM, where
                 a 2D (S, 8) array would be lane-padded ~16x past the 1MB
                 budget.
       sub_chunk (S,) as in SellSlabs
-      rank_nb   static max window span in blocks across all sublanes
+      rank_nb   static max gather iterations (max lcol >> 7, + 1)
     """
 
     vals: jax.Array
@@ -333,32 +348,29 @@ class RankedSlabs:
         total_k = cols.shape[0]
         S = total_k // SUBLANES
 
-        # Per-(sub-tile, sublane) block window over REAL slots only: padding
-        # slots were filled with the sub-tile's min block which may be far
-        # from this sublane's cluster, so recompute from vals != 0.
-        blocks = cols >> 7
+        # Per-(sub-tile, sublane) window base (x blocks) over REAL slots
+        # only: padding slots were filled with the sub-tile's min block
+        # which may be far from this sublane's cluster, so recompute from
+        # vals != 0.
+        units = cols >> 7
         real = vals != 0.0
-        big = np.where(real, blocks, np.iinfo(np.int32).max).reshape(
+        big = np.where(real, units, np.iinfo(np.int32).max).reshape(
             S, SUBLANES, LANES
         )
         sub_base = big.min(axis=2)
         empty = sub_base == np.iinfo(np.int32).max
         # Empty sublanes inherit the sub-tile's minimum real base (keeps
-        # packed deltas small); all-empty sub-tiles fall back to block 0.
+        # packed deltas small); all-empty sub-tiles fall back to unit 0.
         tile_min = sub_base.min(axis=1)
         tile_min[tile_min == np.iinfo(np.int32).max] = 0
         sub_base = np.where(empty, tile_min[:, None], sub_base)
-        bmax = np.where(real, blocks, np.iinfo(np.int32).min).reshape(
-            S, SUBLANES, LANES
-        ).max(axis=2)
-        bmax[empty.reshape(S, SUBLANES)] = 0
-        rank_nb = int(np.maximum(bmax - sub_base, 0).max()) + 1 if S else 1
 
         # Local columns; padding slots point at the sublane window's first
         # entry (val=0 keeps them inert).
         base_cols = np.repeat(sub_base.reshape(-1), LANES).reshape(total_k, LANES)
         lcols = np.where(real, cols - (base_cols << 7), 0).astype(np.int32)
-        assert lcols.min() >= 0 and lcols.max() < rank_nb * LANES
+        rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
+        assert lcols.min() >= 0
 
         # Pack per-sublane deltas into two int32 words per sub-tile.
         sub_b0 = sub_base.min(axis=1)

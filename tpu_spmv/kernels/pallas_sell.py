@@ -135,9 +135,10 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
     """Rank-windowed kernel: per-sublane x windows (see RankedSlabs).
 
     Per sub-tile, iteration i builds an (8,128) window whose sublane s is
-    x block sub_base[g,s]+i (8 dynamic VMEM loads), then one 128-lane
-    gather serves all 8 sublanes at once. rank_nb is ~2 after RCM vs the
-    sub-tile-wide span (~bandwidth/128) the plain kernel loops over.
+    x block base[s]+i (8 dynamic VMEM loads), then one 128-lane gather
+    serves all 8 sublanes at once. With cluster-aligned slots, rank_nb
+    is 2-3 after RCM vs the sub-tile-wide span (~bandwidth/128) the
+    plain kernel loops over.
     """
     subs_per_tile = tile_k // SUBLANES
 
@@ -148,7 +149,6 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
-            sel = jax.lax.shift_right_logical(lcols, 7)
             b0 = sub_b0[g]
             dlo = sub_dlo[g]
             dhi = sub_dhi[g]
@@ -163,16 +163,29 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
                 )
                 for r in range(4)
             ]
-            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for i in range(rank_nb):
+            if rank_nb == 1:
                 xw = jnp.concatenate(
-                    [x_ref[pl.ds(bases[r] + i, 1), :] for r in range(SUBLANES)],
+                    [x_ref[pl.ds(bases[r], 1), :] for r in range(SUBLANES)],
                     axis=0,
                 )
-                gathered = jnp.take_along_axis(
+                acc = jnp.take_along_axis(
                     xw, idx, axis=1, mode="promise_in_bounds"
                 )
-                acc = acc + jnp.where(sel == i, gathered, 0.0)
+            else:
+                sel = jax.lax.shift_right_logical(lcols, 7)
+                acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                for i in range(rank_nb):
+                    xw = jnp.concatenate(
+                        [
+                            x_ref[pl.ds(bases[r] + i, 1), :]
+                            for r in range(SUBLANES)
+                        ],
+                        axis=0,
+                    )
+                    gathered = jnp.take_along_axis(
+                        xw, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    acc = acc + jnp.where(sel == i, gathered, 0.0)
             part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
 
     return kernel
@@ -187,6 +200,8 @@ def spmv_ranked(
     tile_k = min(512, total_k)
     num_tiles = total_k // tile_k
 
+    # x as 128-wide blocks with guard blocks for the static gather loop
+    # overrun (masked contributions, but reads must stay in bounds).
     n_pad = _round_up(max(layout.n, LANES), LANES) + layout.rank_nb * LANES
     x2d = jnp.zeros((n_pad // LANES, LANES), jnp.float32)
     x2d = jax.lax.dynamic_update_slice(

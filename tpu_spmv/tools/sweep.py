@@ -56,8 +56,9 @@ def main(argv=None):
     from tpu_spmv.bench import matrices as M
     from tpu_spmv.bench.harness import bench_spmv, validate
     from tpu_spmv.formats.csrk import CSRkMatrix
-    from tpu_spmv.formats.sell import SellSlabs
-    from tpu_spmv.kernels.pallas_sell import spmv_sell
+    from tpu_spmv.formats.sell import RankedSlabs, SellSlabs
+    from tpu_spmv.kernels.bcoo import BCOOLayout, spmv_bcoo
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
 
     suite = M.suite(args.scale)
@@ -86,6 +87,14 @@ def main(argv=None):
                             lay = SellSlabs.from_csr(ck.matrix)
                             fn = spmv_sell
                             pad, nb = lay.padding_ratio, lay.max_nb
+                        elif kernel == "ranked":
+                            lay = RankedSlabs.from_csr(ck.matrix)
+                            fn = spmv_ranked
+                            pad, nb = lay.padding_ratio, lay.rank_nb
+                        elif kernel == "bcoo":
+                            lay = BCOOLayout.from_csr(ck.matrix)
+                            fn = spmv_bcoo
+                            pad, nb = 1.0, 0
                         else:
                             lay = SegsumLayout.from_csr(ck.matrix)
                             fn = spmv_segsum
