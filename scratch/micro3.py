@@ -10,7 +10,7 @@ from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
 from scipy.sparse.csgraph import reverse_cuthill_mckee
 
 
-def slope(fn, lay, x, lo=20, hi=220):
+def slope(fn, lay, x, lo=50, hi=1050):
     def loop(reps):
         @jax.jit
         def run(xv):

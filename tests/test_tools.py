@@ -86,3 +86,46 @@ def test_tpu_plan_kernels():
     scattered = random_general(50_000, 8, seed=2)
     plan2 = tpu_plan(scattered, assume_rcm=True)
     assert plan2.kernel == "segsum"
+
+
+def test_analyze_cli(mtx, tmp_path, capsys):
+    from tpu_spmv.tools import analyze, convert
+
+    p, _ = mtx
+    convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "norm"), "--rcm-dir", str(tmp_path / "rcm")]
+    )
+    rc = analyze.main([str(tmp_path / "rcm" / "t.mtx.rcm.csr"), "--k", "2",
+                       "--sizes", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "csr2" in out and "subtile_nnz" in out
+
+
+def test_sts_cli(mtx, tmp_path, capsys):
+    from tpu_spmv.tools import convert, sts
+
+    p, _ = mtx
+    convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "norm"), "--rcm-dir", str(tmp_path / "rcm")]
+    )
+    rc = sts.main([
+        str(tmp_path / "rcm" / "t.mtx.rcm.csr"), "5", "--order", "LS",
+        "--validate-only",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number Wrong: 0" in out
+
+
+def test_multihost_mesh_simulated():
+    import jax
+
+    from tpu_spmv.dist.multihost import initialize, make_hybrid_mesh, row_spec
+
+    assert initialize() is False  # single-process
+    mesh = make_hybrid_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("hosts", "rows")
+    spec = row_spec()
+    assert spec == jax.sharding.PartitionSpec(("hosts", "rows"))

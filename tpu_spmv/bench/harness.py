@@ -87,7 +87,8 @@ def bench_spmv(
 
     The ~26ms fetch quantum has several-ms jitter, so the slope uses
     min-over-samples at each reps value and the reps gap adaptively grows
-    until the work difference dominates the jitter.
+    until the work difference dominates the jitter (>= 4 quanta): below
+    that, quantization alone produces 10-30% slope error.
     """
     lo = _loop_fn(spmv, layout, reps_lo)
     hi = _loop_fn(spmv, layout, reps_hi)
@@ -96,7 +97,7 @@ def bench_spmv(
     t_lo = _min_time(lo, x, samples)
     t_hi = _min_time(hi, x, samples)
     # Grow the gap until the measured difference is well above jitter.
-    if (t_hi - t_lo) < 0.02 and _depth < 3:
+    if (t_hi - t_lo) < 0.1 and _depth < 4:
         return bench_spmv(
             spmv, layout, x,
             reps_lo=reps_lo,

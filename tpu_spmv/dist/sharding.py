@@ -66,6 +66,7 @@ class ShardedSell:
     max_nb: int
     n_devices: int
     halo: int = 0  # halo width in rows (0 => all-gather exchange)
+    chunk_q: int = 0  # uniform sub-tiles per chunk across shards (0 = ragged)
 
     def tree_flatten(self):
         children = (self.vals, self.cols, self.sub_b0, self.sub_nb, self.sub_chunk)
@@ -78,6 +79,7 @@ class ShardedSell:
             self.max_nb,
             self.n_devices,
             self.halo,
+            self.chunk_q,
         )
         return children, aux
 
@@ -100,6 +102,7 @@ class ShardedSell:
             nnz=self.nnz,  # only used for stats
             num_chunks=self.num_chunks_local,
             max_nb=self.max_nb,
+            chunk_q=self.chunk_q,
         )
 
     @classmethod
@@ -201,6 +204,18 @@ class ShardedSell:
             max_nb=max_nb,
             n_devices=n_devices,
             halo=halo_rows,
+            # Shards were padded to common shapes, so per-shard uniformity
+            # only survives if every shard agrees (incl. the sub-tile pad).
+            chunk_q=(
+                shards[0].chunk_q
+                if all(
+                    s.chunk_q == shards[0].chunk_q
+                    and s.num_subtiles == S
+                    and s.num_chunks == num_chunks_local
+                    for s in shards
+                )
+                else 0
+            ),
         )
 
     def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedSell":
@@ -221,6 +236,7 @@ class ShardedSell:
             max_nb=self.max_nb,
             n_devices=self.n_devices,
             halo=self.halo,
+            chunk_q=self.chunk_q,
         )
 
     @property

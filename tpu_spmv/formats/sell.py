@@ -43,6 +43,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _uniform_subtiles_per_chunk(sub_chunk, num_chunks: int) -> int:
+    """q if every chunk owns exactly q sub-tiles (uniform slab heights;
+    the tile-k tail uses sentinel ids and is excluded), else 0. Uniform
+    layouts reduce partials with a reshape-sum instead of a segment-sum
+    (and skip the reduction entirely at q=1)."""
+    sc = np.asarray(sub_chunk)
+    real = sc[sc < num_chunks]
+    if real.size == 0 or real.size % max(num_chunks, 1):
+        return 0
+    q = real.size // num_chunks
+    expect = np.repeat(np.arange(num_chunks), q)
+    return q if np.array_equal(real, expect) else 0
+
+
 def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
     """Cluster-aligned slot assignment per 128-row chunk.
 
@@ -146,10 +160,11 @@ class SellSlabs:
     nnz: int
     num_chunks: int
     max_nb: int  # worst-case gather span, for diagnostics/tuning
+    chunk_q: int = 0  # uniform sub-tiles per chunk (0 = ragged)
 
     def tree_flatten(self):
         children = (self.vals, self.cols, self.sub_b0, self.sub_nb, self.sub_chunk)
-        aux = (self.m, self.n, self.nnz, self.num_chunks, self.max_nb)
+        aux = (self.m, self.n, self.nnz, self.num_chunks, self.max_nb, self.chunk_q)
         return children, aux
 
     @classmethod
@@ -258,6 +273,7 @@ class SellSlabs:
             nnz=mat.nnz,
             num_chunks=num_chunks,
             max_nb=int(sub_nb.max()) if num_subtiles else 1,
+            chunk_q=_uniform_subtiles_per_chunk(sub_chunk, num_chunks),
         )
 
 
@@ -291,6 +307,10 @@ class RankedSlabs:
                 budget.
       sub_chunk (S,) as in SellSlabs
       rank_nb   static max gather iterations (max lcol >> 7, + 1)
+      tile_b0   (T,) int32 min window base per tile_k-sublane grid tile;
+                with win_w (static max tile window width in blocks) this
+                drives the HBM-windowed kernel, which keeps x in HBM and
+                DMAs only each tile's window into VMEM
     """
 
     vals: jax.Array
@@ -299,18 +319,25 @@ class RankedSlabs:
     sub_dlo: jax.Array
     sub_dhi: jax.Array
     sub_chunk: jax.Array
+    tile_b0: jax.Array
     m: int
     n: int
     nnz: int
     num_chunks: int
     rank_nb: int
+    chunk_q: int = 0  # uniform sub-tiles per chunk (0 = ragged)
+    win_w: int = 0
+    tile_k: int = 512
 
     def tree_flatten(self):
         children = (
             self.vals, self.lcols, self.sub_b0, self.sub_dlo, self.sub_dhi,
-            self.sub_chunk,
+            self.sub_chunk, self.tile_b0,
         )
-        aux = (self.m, self.n, self.nnz, self.num_chunks, self.rank_nb)
+        aux = (
+            self.m, self.n, self.nnz, self.num_chunks, self.rank_nb,
+            self.chunk_q, self.win_w, self.tile_k,
+        )
         return children, aux
 
     @classmethod
@@ -368,9 +395,14 @@ class RankedSlabs:
         # Local columns; padding slots point at the sublane window's first
         # entry (val=0 keeps them inert).
         base_cols = np.repeat(sub_base.reshape(-1), LANES).reshape(total_k, LANES)
-        lcols = np.where(real, cols - (base_cols << 7), 0).astype(np.int32)
+        lcols = np.where(real, cols - (base_cols << 7), 0)
         rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
         assert lcols.min() >= 0
+        # Local columns are window-relative and small: int16 halves the
+        # column-index HBM traffic (the kernel widens on load).
+        lcols = lcols.astype(
+            np.int16 if int(lcols.max()) < 2**15 else np.int32
+        )
 
         # Pack per-sublane deltas into two int32 words per sub-tile.
         sub_b0 = sub_base.min(axis=1)
@@ -386,6 +418,17 @@ class RankedSlabs:
         for r in range(4):
             sub_dlo |= deltas[:, r] << (8 * r)
             sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
+        # Per-tile window metadata for the HBM-windowed kernel: tile t
+        # gathers only from blocks [tile_b0[t], tile_b0[t] + win_w).
+        subs_per_tile = min(tile_k, total_k) // SUBLANES
+        T = S // subs_per_tile
+        base_t = sub_base.reshape(T, subs_per_tile * SUBLANES)
+        tile_b0 = base_t.min(axis=1)
+        win_w = (
+            int((base_t.max(axis=1) - tile_b0).max()) + rank_nb if T else 1
+        )
+        win_w = _round_up(max(win_w, SUBLANES), SUBLANES)
+
         as32 = lambda a: jnp.asarray(a.view(np.int32) if a.dtype == np.uint32 else a,
                                      dtype=jnp.int32)
         return cls(
@@ -395,9 +438,13 @@ class RankedSlabs:
             sub_dlo=as32(sub_dlo),
             sub_dhi=as32(sub_dhi),
             sub_chunk=base.sub_chunk,
+            tile_b0=as32(tile_b0.astype(np.int32)),
             m=base.m,
             n=base.n,
             nnz=base.nnz,
             num_chunks=base.num_chunks,
             rank_nb=rank_nb,
+            chunk_q=base.chunk_q,
+            win_w=win_w,
+            tile_k=min(tile_k, total_k),
         )

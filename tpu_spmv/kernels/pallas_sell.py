@@ -38,6 +38,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _reduce_partials(partials, layout):
+    """Chunk totals from per-sub-tile partials.
+
+    Uniform layouts (chunk_q > 0) reduce with a reshape-sum — or nothing
+    at q == 1 — saving the segment-sum epilogue (~28% of flagship SpMV
+    time); ragged layouts fall back to the sorted segment-sum.
+    """
+    q = layout.chunk_q
+    nc = layout.num_chunks
+    if q == 1:
+        return partials[:nc].reshape(-1)[: layout.m]
+    if q:
+        return (
+            partials[: nc * q]
+            .reshape(nc, q, LANES)
+            .sum(axis=1)
+            .reshape(-1)[: layout.m]
+        )
+    chunk_sums = jax.ops.segment_sum(
+        partials,
+        layout.sub_chunk,
+        num_segments=nc + 1,
+        indices_are_sorted=True,
+    )
+    return chunk_sums[:-1].reshape(-1)[: layout.m]
+
+
 def _make_kernel(tile_k: int, max_nb: int):
     """Kernel with fully static control flow.
 
@@ -122,13 +149,7 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
     )(layout.sub_b0, layout.sub_nb, layout.vals, layout.cols, x2d)
 
     # Coarsest reduction level: chunk totals from sub-tile partials.
-    chunk_sums = jax.ops.segment_sum(
-        partials,
-        layout.sub_chunk,
-        num_segments=layout.num_chunks + 1,
-        indices_are_sorted=True,
-    )
-    return chunk_sums[:-1].reshape(-1)[: layout.m]
+    return _reduce_partials(partials, layout)
 
 
 def _make_ranked_kernel(tile_k: int, rank_nb: int):
@@ -146,7 +167,9 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
         t = pl.program_id(0)
         for s in range(subs_per_tile):
             g = t * subs_per_tile + s
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+                jnp.int32
+            )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[g]
@@ -238,13 +261,141 @@ def spmv_ranked(
         ),
     )(layout.sub_b0, layout.sub_dlo, layout.sub_dhi, layout.vals, layout.lcols, x2d)
 
-    chunk_sums = jax.ops.segment_sum(
-        partials,
-        layout.sub_chunk,
-        num_segments=layout.num_chunks + 1,
-        indices_are_sorted=True,
+    return _reduce_partials(partials, layout)
+
+
+def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int):
+    """HBM-windowed rank kernel: x stays in HBM; each grid step DMAs its
+    tile's x window (win_w blocks) into a double-buffered VMEM scratch
+    while the previous step computes. Removes the VMEM residency cap on
+    n (the resident kernel needs x fully in VMEM, ~3M rows)."""
+    subs_per_tile = tile_k // SUBLANES
+
+    def kernel(
+        tile_b0, sub_b0, sub_dlo, sub_dhi,
+        vals_ref, lcols_ref, x_hbm, part_ref, xwin, sems,
+    ):
+        t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+
+        def win_dma(which_slot, which_tile):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile_b0[which_tile], win_w), :],
+                xwin.at[which_slot],
+                sems.at[which_slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            win_dma(nslot, t + 1).start()
+
+        win_dma(slot, t).wait()
+        w0 = tile_b0[t]
+
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+                jnp.int32
+            )
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            b0 = sub_b0[g] - w0
+            dlo = sub_dlo[g]
+            dhi = sub_dhi[g]
+            bases = [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dlo, 8 * r), 255
+                )
+                for r in range(4)
+            ] + [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dhi, 8 * r), 255
+                )
+                for r in range(4)
+            ]
+            sel = jax.lax.shift_right_logical(lcols, 7)
+            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for i in range(rank_nb):
+                xw = jnp.concatenate(
+                    [
+                        xwin[slot, pl.ds(bases[r] + i, 1), :]
+                        for r in range(SUBLANES)
+                    ],
+                    axis=0,
+                ).reshape(SUBLANES, LANES)
+                gathered = jnp.take_along_axis(
+                    xw, idx, axis=1, mode="promise_in_bounds"
+                )
+                acc = acc + jnp.where(sel == i, gathered, 0.0)
+            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmv_ranked_windowed(
+    layout: RankedSlabs, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x with x streamed from HBM in per-tile windows.
+
+    Same layout and results as spmv_ranked; choose this when x does not
+    fit VMEM (n beyond ~3M rows) — VMEM use is O(tile_k + win_w), not
+    O(n)."""
+    total_k = int(layout.vals.shape[0])
+    tile_k = layout.tile_k
+    num_tiles = total_k // tile_k
+    win_w = layout.win_w
+
+    # Guard rows: DMA source must stay in bounds for every window.
+    n_blocks = _round_up(max(layout.n, LANES), LANES) // LANES + win_w
+    x2d = jnp.zeros((n_blocks, LANES), jnp.float32)
+    x2d = jax.lax.dynamic_update_slice(
+        x2d.reshape(-1), x.astype(jnp.float32), (0,)
+    ).reshape(n_blocks, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x, HBM-resident
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_k // SUBLANES, LANES), lambda t, *_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_w, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    return chunk_sums[:-1].reshape(-1)[: layout.m]
+
+    partials = pl.pallas_call(
+        _make_windowed_kernel(tile_k, layout.rank_nb, win_w, num_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.padded_nnz,
+            bytes_accessed=layout.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(
+        layout.tile_b0, layout.sub_b0, layout.sub_dlo, layout.sub_dhi,
+        layout.vals, layout.lcols, x2d,
+    )
+
+    return _reduce_partials(partials, layout)
 
 
 def spmv_sell_reference(layout: SellSlabs, x: np.ndarray) -> np.ndarray:

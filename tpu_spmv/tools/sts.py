@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--sizes", type=int, nargs="*", default=None)
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--validate-only", action="store_true",
+                    help="skip the timed benchmark (CI / CPU runs)")
     args = ap.parse_args(argv)
 
     from tpu_spmv.bench.harness import bench_spmv
@@ -45,10 +47,15 @@ def main(argv=None):
     b = compute_b(sys_.lower)  # x_exact = ones
     layout = LowerSolveLayout.build(sys_, b)
 
-    x = np.asarray(lower_solve(layout))
+    import jax
+
+    interpret = jax.default_backend() == "cpu"
+    x = np.asarray(lower_solve(layout, interpret=interpret))
     num_wrong = int(np.sum(np.abs(x - 1.0) > args.tol))
     print(f"Total Error: {check_error(x):g}")
     print(f"Number Wrong: {num_wrong}")
+    if args.validate_only:
+        return 0 if num_wrong == 0 else 1
 
     # The slope harness chains iterations through x; tie the solve to the
     # chained vector via a zero-valued rhs perturbation so XLA cannot
