@@ -82,3 +82,49 @@ def test_sell_targets_parity():
     ranks = np.arange(mat.nnz) - np.repeat(mat.indptr[:-1].astype(np.int64), mat.row_lengths)
     np.testing.assert_array_equal(dest_k, koff[rows // lanes] + ranks)
     np.testing.assert_array_equal(dest_l, rows % lanes)
+
+
+def test_greedy_color_parity_and_validity():
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core unavailable")
+    mat = random_banded(800, 30, 8, seed=7)
+    color = native.greedy_color(mat.indptr, mat.indices)
+    rows = np.repeat(np.arange(mat.m), mat.row_lengths)
+    cols = mat.indices.astype(np.int64)
+    off = rows != cols
+    assert (color[rows[off]] != color[cols[off]]).all()
+    # Exact parity with the pure-Python first-fit reference.
+    from tpu_spmv.sts import host as sts_host
+
+    mark = np.full(mat.m + 1, -1, dtype=np.int64)
+    ref = np.full(mat.m, -1, dtype=np.int64)
+    indptr = mat.indptr.astype(np.int64)
+    indices = mat.indices.astype(np.int64)
+    for v in range(mat.m):
+        nbrs = indices[indptr[v] : indptr[v + 1]]
+        ncols = ref[nbrs]
+        mark[ncols[ncols >= 0]] = v
+        c = 0
+        while mark[c] == v:
+            c += 1
+        ref[v] = c
+    np.testing.assert_array_equal(color, ref)
+
+
+def test_level_schedule_parity():
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core unavailable")
+    mat = random_banded(800, 30, 8, seed=8)
+    lev = native.level_schedule(mat.indptr, mat.indices)
+    rows = np.repeat(np.arange(mat.m), mat.row_lengths)
+    cols = mat.indices.astype(np.int64)
+    strict = cols < rows
+    assert (lev[cols[strict]] < lev[rows[strict]]).all()
+    # Rows without strict-lower entries are level 0.
+    has_dep = np.zeros(mat.m, dtype=bool)
+    has_dep[rows[strict]] = True
+    assert (lev[~has_dep] == 0).all()

@@ -238,4 +238,40 @@ int tpu_spmv_sell_targets(int64_t m, int64_t nnz, const int64_t* indptr,
   return 0;
 }
 
+// First-fit greedy coloring in vertex order (the algorithm behind the
+// reference's BGL_ordering / boost::sequential_vertex_coloring,
+// spmv-csrk/csrk.cpp:2946-3009). color_out: (n) int64.
+int tpu_spmv_greedy_color(int64_t n, const int64_t* indptr,
+                          const int32_t* indices, int64_t* color_out) {
+  std::vector<int64_t> mark(n + 1, -1);  // color -> last vertex marking it
+  for (int64_t v = 0; v < n; ++v) color_out[v] = -1;
+  for (int64_t v = 0; v < n; ++v) {
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+      int64_t c = color_out[indices[e]];
+      if (c >= 0) mark[c] = v;
+    }
+    int64_t c = 0;
+    while (mark[c] == v) ++c;
+    color_out[v] = c;
+  }
+  return 0;
+}
+
+// Dependency level of each row in the strict lower triangle:
+// level[i] = 1 + max(level[j]) over entries j < i of row i, 0 when none
+// (the schedule the reference's find_levels computes, csrk.cpp:2704-2820).
+// Rows only depend on earlier rows, so one forward pass suffices.
+int tpu_spmv_level_schedule(int64_t n, const int64_t* indptr,
+                            const int32_t* indices, int64_t* level_out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t lev = -1;
+    for (int64_t e = indptr[i]; e < indptr[i + 1]; ++e) {
+      int64_t j = indices[e];
+      if (j < i && level_out[j] > lev) lev = level_out[j];
+    }
+    level_out[i] = lev + 1;
+  }
+  return 0;
+}
+
 }  // extern "C"

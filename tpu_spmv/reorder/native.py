@@ -53,6 +53,10 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, I64, I64, ctypes.c_int64, I64, I64,
         ]
         lib.tpu_spmv_sell_targets.restype = ctypes.c_int
+        lib.tpu_spmv_greedy_color.argtypes = [ctypes.c_int64, I64, I32, I64]
+        lib.tpu_spmv_greedy_color.restype = ctypes.c_int
+        lib.tpu_spmv_level_schedule.argtypes = [ctypes.c_int64, I64, I32, I64]
+        lib.tpu_spmv_level_schedule.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # toolchain missing, build failure, ...
         _load_error = str(e)
@@ -144,6 +148,44 @@ def permute_symmetric(indptr, indices, data, perm):
     if rc != 0:
         raise RuntimeError(f"permute_symmetric failed with code {rc}")
     return indptr_out, indices_out, data_out
+
+
+def greedy_color(indptr, indices) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    n = indptr.shape[0] - 1
+    color = np.empty(n, dtype=np.int64)
+    rc = lib.tpu_spmv_greedy_color(
+        n,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(color, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_greedy_color failed with code {rc}")
+    return color
+
+
+def level_schedule(indptr, indices) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    n = indptr.shape[0] - 1
+    level = np.empty(n, dtype=np.int64)
+    rc = lib.tpu_spmv_level_schedule(
+        n,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(level, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_level_schedule failed with code {rc}")
+    return level
 
 
 def sell_targets(indptr, koff, lanes: int):

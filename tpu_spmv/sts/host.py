@@ -89,6 +89,11 @@ def find_levels(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     unfixed rows (total work O(nnz * depth / average wavefront) but each
     pass is fully vectorized).
     """
+    from tpu_spmv.reorder import native
+
+    if native.available():
+        return native.level_schedule(indptr, indices)
+
     m = indptr.shape[0] - 1
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
     cols = indices.astype(np.int64)
