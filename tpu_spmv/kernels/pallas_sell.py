@@ -220,7 +220,7 @@ def spmv_ranked(
 ) -> jax.Array:
     """y = A @ x with A in rank-windowed SELL layout."""
     total_k = int(layout.vals.shape[0])
-    tile_k = min(512, total_k)
+    tile_k = layout.tile_k or min(512, total_k)
     num_tiles = total_k // tile_k
 
     # x as 128-wide blocks with guard blocks for the static gather loop
