@@ -88,8 +88,15 @@ def test_exact_rank_nb_banded_vs_general():
 
 def test_tpu_plan_kernel_choice():
     assert tpu_plan(laplacian_2d(16)).kernel == "sell"  # tiny span
-    wide = random_banded(300_000, 1500, 8, seed=1)
-    plan = tpu_plan(wide, assume_rcm=True)
-    assert plan.kernel == "ranked"  # wide band, tight ranks
+    # Wide-band STENCIL (natural order, band 2048): ranks cluster tightly
+    # while the chunk span covers the whole band -> rank windows win.
+    stencil = laplacian_2d(8, 2048)
+    plan = tpu_plan(stencil, assume_rcm=True)
+    assert plan.kernel == "ranked", (plan.est_max_nb, plan.est_rank_nb)
+    # Random-within-band: no rank clustering -> plain wins despite the
+    # wide chunk span.
+    wide_random = random_banded(300_000, 1500, 8, seed=1)
+    plan = tpu_plan(wide_random, assume_rcm=True)
+    assert plan.kernel == "sell", (plan.est_max_nb, plan.est_rank_nb)
     scattered = random_general(300_000, 8, seed=2)
     assert tpu_plan(scattered, assume_rcm=True).kernel == "segsum"

@@ -68,3 +68,30 @@ def test_sell_single_chunk():
     x = np.random.default_rng(1).standard_normal(64).astype(np.float32)
     y = np.asarray(spmv_sell(lay, jnp.asarray(x), interpret=True))
     assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_windowed_matches_resident():
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_ranked_windowed
+
+    mat = random_banded(1500, 50, 8, seed=4)
+    lay = RankedSlabs.from_csr(mat)
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    y_res = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
+    y_win = np.asarray(spmv_ranked_windowed(lay, jnp.asarray(x), interpret=True))
+    y_ref = mat.matvec(x)
+    assert _rel(y_res, y_ref) < 1e-6
+    assert _rel(y_win, y_ref) < 1e-6
+    np.testing.assert_array_equal(y_res, y_win)  # identical accumulation
+
+
+def test_ranked_matches_oracle():
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked
+
+    for mat in (laplacian_2d(16), random_banded(400, 30, 6, seed=1),
+                random_general(300, 5, seed=2)):
+        lay = RankedSlabs.from_csr(mat)
+        x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+        y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
+        assert _rel(y, mat.matvec(x)) < 1e-6

@@ -101,33 +101,36 @@ class TpuPlan:
 # the unrolled gather loop's compute exceeds any streaming win over the
 # XLA fallback, and the x window no longer fits cache-like reuse.
 _SPAN_LIMIT = 96
-# Per gather iteration, the ranked kernel costs ~3x the plain kernel's
-# ops (8 window loads vs a hoisted broadcast), so plain wins when the
-# whole sub-tile span is tiny.
-_PLAIN_WINS_NB = 3
-# Packed-delta field width (see RankedSlabs) and a sanity cap on the
-# per-rank loop.
-_RANKED_LIMIT = 32
+# Measured on v5e (docs/PERF_NOTES.md): a ranked-kernel gather iteration
+# costs ~3.5x a plain-kernel iteration (8 per-sublane window loads vs a
+# hoisted broadcast), so rank windows only pay when they shrink the
+# loop by more than that factor.
+_RANKED_ITER_COST = 3.5
 
 
-def exact_rank_nb(mat) -> tuple[int, int]:
-    """(chunk span, per-rank span) in x blocks, exact, O(nnz) NumPy.
+def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
+    """(chunk span, per-slot span) in x blocks, exact, O(nnz) NumPy.
 
-    chunk span drives the plain SELL kernel's gather loop; per-rank span
-    drives the rank-windowed kernel's (the k-th nonzeros of a 128-row
-    chunk cluster tightly after RCM).
+    chunk span drives the plain SELL kernel's gather loop; per-slot span
+    drives the rank-windowed kernel's. align=True measures the
+    cluster-aligned slot assignment RankedSlabs actually builds
+    (formats/sell._aligned_slots); False measures ordinal ranks.
     """
-    from tpu_spmv.formats.sell import LANES
+    from tpu_spmv.formats.sell import LANES, _aligned_slots
 
     m = mat.m
     lens = mat.row_lengths.astype(np.int64)
     if mat.nnz == 0 or m == 0:
         return 1, 1
-    maxlen = int(lens.max())
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-    ranks = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
-        mat.indptr[:-1].astype(np.int64), lens
-    )
+    if align:
+        ranks, kc_raw = _aligned_slots(mat)
+        maxlen = int(kc_raw.max())
+    else:
+        maxlen = int(lens.max())
+        ranks = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
+            mat.indptr[:-1].astype(np.int64), lens
+        )
     blocks = mat.indices.astype(np.int64) >> 7
     chunks = rows // LANES
     nchunks = int(chunks.max()) + 1
@@ -168,24 +171,20 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         est_nb, est_rank = float(chunk_nb), float(rank_nb)
     needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
 
-    if est_nb <= _PLAIN_WINS_NB:
-        kernel, reason = "sell", (
-            f"chunk span {est_nb:.0f} blocks; plain gather loop is cheapest"
+    if est_nb > _SPAN_LIMIT and est_rank * _RANKED_ITER_COST > _SPAN_LIMIT:
+        kernel, reason = "segsum", (
+            f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT} and rank "
+            f"windows ({est_rank:.0f}) are no cheaper; XLA segment-sum"
         )
-    elif est_rank <= _RANKED_LIMIT and est_nb <= 256:
+    elif est_nb > _RANKED_ITER_COST * est_rank and est_rank <= 250:
         kernel, reason = "ranked", (
             f"rank span {est_rank:.0f} vs chunk span {est_nb:.0f} blocks; "
-            "per-sublane windows win"
-        )
-    elif est_nb <= _SPAN_LIMIT:
-        kernel, reason = "sell", (
-            f"chunk span {est_nb:.0f} blocks; rank windows too wide "
-            f"({est_rank:.0f})"
+            f"per-sublane windows win (> {_RANKED_ITER_COST}x loop cut)"
         )
     else:
-        kernel, reason = "segsum", (
-            f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}; "
-            "falling back to XLA segment-sum"
+        kernel, reason = "sell", (
+            f"chunk span {est_nb:.0f} vs rank span {est_rank:.0f} blocks; "
+            "plain gather loop is cheapest"
         )
     return TpuPlan(
         kernel=kernel,
