@@ -72,3 +72,23 @@ def test_shape_validation(m, n):
     with pytest.raises(ValueError):
         CSRMatrix(np.zeros(m, np.int32), np.zeros(0, np.int32),
                   np.zeros(0, np.float32), (m, n))
+
+
+def test_layout_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.sell import RankedSlabs, SellSlabs, load_layout
+
+    mat = random_banded(400, 30, 6, seed=1)
+    for Cls in (SellSlabs, RankedSlabs):
+        lay = Cls.from_csr(mat)
+        p = tmp_path / f"{Cls.__name__}.npz"
+        lay.save(p)
+        lay2 = load_layout(p)
+        assert type(lay2) is Cls
+        c1, a1 = lay.tree_flatten()
+        c2, a2 = lay2.tree_flatten()
+        assert a1 == a2
+        for x, y in zip(c1, c2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -145,6 +145,39 @@ def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
     return slots, kc
 
 
+
+def _save_layout(layout, path) -> None:
+    """Persist a layout's device arrays + static config to .npz.
+
+    The TPU analog of the reference's precompute artifacts (.csr2/.csr3
+    files written by reformat so benchmarks skip coarsening/RCM,
+    reformat-csr-to-csr3/spmv-auto.cpp:30-65): layout builds are
+    host-side preprocessing worth caching for repeated runs.
+    """
+    children, aux = layout.tree_flatten()
+    arrays = {f"c{i}": np.asarray(a) for i, a in enumerate(children)}
+    np.savez_compressed(
+        path,
+        __class__=type(layout).__name__,
+        __aux__=np.asarray(aux, dtype=np.int64),
+        **arrays,
+    )
+
+
+def load_layout(path):
+    """Load a layout saved by SellSlabs.save / RankedSlabs.save."""
+    with np.load(path, allow_pickle=False) as z:
+        clsname = str(z["__class__"])
+        aux = tuple(int(v) for v in z["__aux__"])
+        children = []
+        i = 0
+        while f"c{i}" in z:
+            children.append(jnp.asarray(z[f"c{i}"]))
+            i += 1
+    cls = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}[clsname]
+    return cls.tree_unflatten(aux, children)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SellSlabs:
@@ -174,6 +207,9 @@ class SellSlabs:
     @property
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
+
+    def save(self, path) -> None:
+        _save_layout(self, path)
 
     @property
     def padded_nnz(self) -> int:
@@ -347,6 +383,9 @@ class RankedSlabs:
     @property
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
+
+    def save(self, path) -> None:
+        _save_layout(self, path)
 
     @property
     def padded_nnz(self) -> int:

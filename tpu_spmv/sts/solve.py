@@ -127,10 +127,11 @@ def _round_up_arr(a: np.ndarray, mult: int) -> np.ndarray:
     return -(-a // mult) * mult
 
 
-def _make_solve_kernel(tile_k: int, max_nb: int, num_chunks: int):
+def _make_solve_kernel(tile_k: int, num_chunks: int):
     subs_per_tile = tile_k // SUBLANES
 
-    def kernel(sub_b0, sub_chunk, vals_ref, cols_ref, b_ref, x_ref, acc_ref):
+    def kernel(sub_b0, sub_nb, sub_chunk, vals_ref, cols_ref, b_ref, x_ref,
+               acc_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -145,14 +146,26 @@ def _make_solve_kernel(tile_k: int, max_nb: int, num_chunks: int):
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
             b0 = sub_b0[g]
-            gath = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for i in range(max_nb):
+
+            # The pack permutation (levels/colors sorted by size) scatters
+            # a row's dependencies across all earlier packs, so sub-tile
+            # windows can span most of x: the gather loop must be DYNAMIC
+            # with the per-sub-tile bound (a static unroll of the global
+            # max explodes compile time and runs the worst case
+            # everywhere).
+            def body(i, gath):
                 b = b0 + i
-                xb = jnp.broadcast_to(x_ref[pl.ds(b, 1), :], (SUBLANES, LANES))
+                xb = jnp.broadcast_to(
+                    x_ref[pl.ds(b, 1), :], (SUBLANES, LANES)
+                )
                 gathered = jnp.take_along_axis(
                     xb, idx, axis=1, mode="promise_in_bounds"
                 )
-                gath = gath + jnp.where(blk == b, gathered, 0.0)
+                return gath + jnp.where(blk == b, gathered, 0.0)
+
+            gath = jax.lax.fori_loop(
+                0, sub_nb[g], body, jnp.zeros((SUBLANES, LANES), jnp.float32)
+            )
             acc_ref[:] = acc_ref[:] + jnp.sum(
                 vals * gath, axis=0, keepdims=True
             )
@@ -192,19 +205,19 @@ def lower_solve(
         [slabs.sub_chunk, jnp.full((1,), num_chunks + 1, jnp.int32)]
     )
 
-    # x buffer: num_chunks real blocks + 1 pad-chunk block + max_nb guard
-    # blocks for the static gather loop overrun.
-    x_blocks = num_chunks + 1 + slabs.max_nb
+    # x buffer: num_chunks real blocks + 1 pad-chunk block (the dynamic
+    # gather loop never reads past a sub-tile's real span).
+    x_blocks = num_chunks + 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, b0, sc: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, b0, sc: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_scale, resident
         ],
@@ -213,7 +226,7 @@ def lower_solve(
     )
 
     x_pad = pl.pallas_call(
-        _make_solve_kernel(tile_k, slabs.max_nb, num_chunks),
+        _make_solve_kernel(tile_k, num_chunks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
         interpret=interpret,
@@ -222,7 +235,7 @@ def lower_solve(
             bytes_accessed=slabs.hbm_bytes,
             transcendentals=0,
         ),
-    )(slabs.sub_b0, sub_chunk_ext, slabs.vals, slabs.cols, b_scale)
+    )(slabs.sub_b0, slabs.sub_nb, sub_chunk_ext, slabs.vals, slabs.cols, b_scale)
 
     return x_pad.reshape(-1)[layout.pad_index]
 

@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--base", type=int, default=0, choices=(0, 1),
                     help="index base for the .csr output (reference files are 0-based)")
+    ap.add_argument("--mtx-out", action="store_true",
+                    help="also write the RCM-permuted matrix as "
+                    "<name>.rcm in MatrixMarket form (converter_mm.m role)")
     args = ap.parse_args(argv)
 
     norm_dir = pathlib.Path(args.norm_dir)
@@ -47,6 +50,10 @@ def main(argv=None):
         print(f"reordered in {time.perf_counter() - tic:f}...", end="")
         write_csr_text(norm_dir / f"{name}.csr", mat, base=args.base)
         write_csr_text(rcm_dir / f"{name}.rcm.csr", reordered, base=args.base)
+        if args.mtx_out:
+            from tpu_spmv.io.matrix_market import write_mtx
+
+            write_mtx(rcm_dir / f"{name}.rcm", reordered)
         print("done")
     return 0
 

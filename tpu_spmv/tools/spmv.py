@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--layout-cache", default=None,
+                    help="path to a .npz layout artifact: loaded when it "
+                    "exists, written after build otherwise (the reference's "
+                    "precomputed-.csr3 role). sell/ranked kernels only; the "
+                    "matrix must still be supplied for validation.")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -73,14 +78,35 @@ def main(argv=None):
         kernel = plan.kernel
         print(f"auto kernel: {kernel} ({plan.reason})")
 
+    import pathlib
+
+    def build_or_load(cls):
+        cache = args.layout_cache
+        if cache and pathlib.Path(cache).exists():
+            from tpu_spmv.formats.sell import load_layout
+
+            lay = load_layout(cache)
+            if type(lay) is not cls:
+                raise SystemExit(
+                    f"cached layout is {type(lay).__name__}, kernel wants "
+                    f"{cls.__name__}"
+                )
+            print(f"loaded layout from {cache}")
+            return lay
+        lay = cls.from_csr(ck.matrix)
+        if cache:
+            lay.save(cache)
+            print(f"saved layout to {cache}")
+        return lay
+
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     xj = jnp.asarray(ck.set_x(x))
     if kernel == "sell":
-        layout = SellSlabs.from_csr(ck.matrix)
+        layout = build_or_load(SellSlabs)
         fn = spmv_sell
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "ranked":
-        layout = RankedSlabs.from_csr(ck.matrix)
+        layout = build_or_load(RankedSlabs)
         fn = spmv_ranked
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "bcoo":
