@@ -92,3 +92,36 @@ def test_layout_save_load_roundtrip(tmp_path):
         assert a1 == a2
         for x, y in zip(c1, c2):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sigma_sort_reduces_padding():
+    import numpy as np
+
+    from tpu_spmv.bench.matrices import random_general
+    from tpu_spmv.formats.sell import SellSlabs, sigma_sort
+
+    # Skewed degrees: power-law-ish lengths via overlaying several
+    # random matrices.
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    rng = np.random.default_rng(0)
+    m = 4096
+    rows = np.concatenate([
+        rng.integers(0, m, 6 * m),
+        rng.integers(0, m // 50, 30 * m // 50),  # heavy rows at the top
+    ])
+    cols = rng.integers(0, m, rows.shape[0])
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    mat = CSRMatrix.from_coo(rows, cols, vals, (m, m))
+
+    plain = SellSlabs.from_csr(mat)
+    sorted_mat, perm = sigma_sort(mat)
+    assert np.array_equal(np.sort(perm), np.arange(m))
+    srt = SellSlabs.from_csr(sorted_mat)
+    assert srt.padding_ratio < plain.padding_ratio * 0.8
+
+    # Row-permutation semantics: y_sorted[i] == y_orig[perm[i]].
+    x = rng.standard_normal(m).astype(np.float32)
+    np.testing.assert_allclose(
+        sorted_mat.matvec(x), mat.matvec(x)[perm], rtol=1e-6
+    )

@@ -125,10 +125,15 @@ class CSRMatrix:
         """
         x = np.asarray(x, dtype=np.float32)
         y = np.zeros(self.m, dtype=np.float32)
+        if self.nnz == 0 or self.m == 0:
+            return y
         # Vectorized per-row segmented accumulation in f64 then cast keeps a
         # closer match to serial f32 than np.add.at in f32, while being fast.
         prods = self.data.astype(np.float64) * x[self.indices].astype(np.float64)
-        sums = np.add.reduceat(prods, self.indptr[:-1], dtype=np.float64)
+        # reduceat rejects start == nnz (empty trailing rows); clip and mask
+        # empty rows to zero below.
+        starts = np.minimum(self.indptr[:-1].astype(np.int64), self.nnz - 1)
+        sums = np.add.reduceat(prods, starts, dtype=np.float64)
         sums = np.where(self.row_lengths > 0, sums, 0.0)
         y[:] = sums.astype(np.float32)
         return y

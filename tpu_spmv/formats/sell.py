@@ -57,6 +57,40 @@ def _uniform_subtiles_per_chunk(sub_chunk, num_chunks: int) -> int:
     return q if np.array_equal(real, expect) else 0
 
 
+def sigma_sort(mat: CSRMatrix, sigma: int = 32 * LANES) -> tuple:
+    """SELL-C-sigma row sorting: within windows of `sigma` rows, order
+    rows by descending length (stable), so chunks get uniform slab
+    heights and padding collapses for skewed-degree matrices
+    (Kreutzer et al., arXiv:1307.6209 — the reference stores this class
+    plain and eats the imbalance, cf. stats.c's nnz-variance report).
+
+    Windows are local so RCM band locality survives (a row moves at most
+    sigma-1 positions). Returns (sorted_matrix, perm) with perm new->old;
+    fold perm into the caller's global permutation for validation.
+    """
+    m = mat.m
+    lens = mat.row_lengths
+    perm = np.empty(m, dtype=np.int64)
+    for w0 in range(0, m, sigma):
+        w1 = min(w0 + sigma, m)
+        order = np.argsort(-lens[w0:w1], kind="stable")
+        perm[w0:w1] = w0 + order
+    # Row permutation only (columns unchanged): rebuild CSR directly.
+    new_lens = lens[perm].astype(np.int64)
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=indptr[1:])
+    starts = mat.indptr[perm].astype(np.int64)
+    take = (
+        np.arange(int(indptr[-1]), dtype=np.int64)
+        - np.repeat(indptr[:-1], new_lens)
+        + np.repeat(starts, new_lens)
+    )
+    out = CSRMatrix(
+        indptr.astype(np.int32), mat.indices[take], mat.data[take], mat.shape
+    )
+    return out, perm
+
+
 def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
     """Cluster-aligned slot assignment per 128-row chunk.
 

@@ -28,7 +28,9 @@ def load_input(spec: str):
         from tpu_spmv.bench import matrices
 
         name = spec.split(":", 1)[1]
-        return dict(matrices.suite("bench"), **matrices.suite("small"))[name]
+        table = dict(matrices.suite("bench"), **matrices.suite("small"))
+        table.update(matrices.suite("tiny"))
+        return table[name]
     from tpu_spmv.tools.stats import load
 
     return load(spec)
@@ -48,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--sigma", type=int, default=0,
+                    help="SELL-C-sigma window: sort rows by descending "
+                    "length within windows of this many rows before the "
+                    "layout build (cuts padding on skewed-degree matrices)")
     ap.add_argument("--layout-cache", default=None,
                     help="path to a .npz layout artifact: loaded when it "
                     "exists, written after build otherwise (the reference's "
@@ -71,6 +77,17 @@ def main(argv=None):
     sizes = tuple(args.sizes) if args.sizes else tuple([16] * (k - 1))
     ck = CSRkMatrix.build(mat, k=k, sup_row_sizes=sizes)
     print(f"k={k} sizes={list(sizes)} rows={mat.m} nnz={mat.nnz}")
+    out_perm = ck.perm
+    if args.sigma:
+        from tpu_spmv.formats.sell import sigma_sort
+
+        sorted_mat, sperm = sigma_sort(ck.matrix, args.sigma)
+        ck = type(ck)(
+            matrix=sorted_mat, perm=ck.perm, maps=ck.maps, k=ck.k,
+            sup_row_sizes=ck.sup_row_sizes,
+        )
+        out_perm = out_perm[sperm]
+        print(f"sigma={args.sigma} row sort applied")
 
     kernel = args.kernel
     if kernel == "auto":
@@ -106,8 +123,13 @@ def main(argv=None):
         fn = spmv_sell
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "ranked":
-        layout = build_or_load(RankedSlabs)
-        fn = spmv_ranked
+        try:
+            layout = build_or_load(RankedSlabs)
+            fn = spmv_ranked
+        except ValueError as e:  # packed-delta range exceeded
+            print(f"ranked layout unavailable ({e}); falling back to sell")
+            layout = build_or_load(SellSlabs)
+            fn = spmv_sell
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "bcoo":
         layout = BCOOLayout.from_csr(ck.matrix)
@@ -119,7 +141,7 @@ def main(argv=None):
         bytes_per_nnz = 12.0
 
     y = np.asarray(fn(layout, xj))
-    wrong, rel = validate(y, mat.matvec(x)[ck.perm], tol=args.tol)
+    wrong, rel = validate(y, mat.matvec(x)[out_perm], tol=args.tol)
 
     res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
     print(res.summary(), end="")
