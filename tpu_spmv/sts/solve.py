@@ -33,8 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_spmv.formats.csr import CSRMatrix
-from tpu_spmv.formats.sell import LANES, SUBLANES, SellSlabs
+from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs, SellSlabs
 from tpu_spmv.sts.host import TriangularSystem
+
+# Rank-windowed solve fast path: static gather-iteration cap. Systems
+# whose aligned per-sublane dependency windows exceed this span use the
+# dynamic-loop kernel instead.
+RANKED_SOLVE_MAX_NB = 8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,13 +56,18 @@ class LowerSolveLayout:
     inv_diag: jax.Array  # (num_chunks+1, 128) for re-scaling new b vectors
     pad_index: jax.Array  # (m,) padded position of each real row
     m: int
+    ranked: RankedSlabs | None = None  # fast path when rank windows are narrow
 
     def tree_flatten(self):
-        return (self.slabs, self.b_scale, self.inv_diag, self.pad_index), (self.m,)
+        children = (
+            self.slabs, self.b_scale, self.inv_diag, self.pad_index,
+            self.ranked,
+        )
+        return children, (self.m,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:4], *aux, ranked=children[4])
 
     @classmethod
     def build(cls, sys: TriangularSystem, b: np.ndarray) -> "LowerSolveLayout":
@@ -109,6 +119,19 @@ class LowerSolveLayout:
         )
         slabs = SellSlabs.from_csr(strictL)
 
+        # Rank-windowed fast path: on level schedules of locality-
+        # preserving (RCM'd) systems, each sublane rank's dependencies
+        # cluster into a few x blocks even though the whole sub-tile's
+        # window is wide. Only taken when the static gather loop stays
+        # short (the dynamic kernel handles everything else).
+        ranked = None
+        try:
+            cand = RankedSlabs.from_csr(strictL)
+            if cand.rank_nb <= RANKED_SOLVE_MAX_NB:
+                ranked = cand
+        except ValueError:
+            pass  # packed-delta range exceeded: scattered dependencies
+
         num_chunks = slabs.num_chunks
         bpad = np.zeros((num_chunks + 1) * LANES, dtype=np.float32)
         dpad = np.zeros((num_chunks + 1) * LANES, dtype=np.float32)
@@ -120,6 +143,7 @@ class LowerSolveLayout:
             inv_diag=jnp.asarray(dpad.reshape(num_chunks + 1, LANES)),
             pad_index=jnp.asarray(pad_index, dtype=jnp.int32),
             m=m,
+            ranked=ranked,
         )
 
 
@@ -182,6 +206,109 @@ def _make_solve_kernel(tile_k: int, num_chunks: int):
     return kernel
 
 
+def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
+    """Rank-windowed solve: static per-sublane gather windows (see
+    RankedSlabs) + the chunk accumulate/finalize schedule."""
+    subs_per_tile = tile_k // SUBLANES
+
+    def kernel(sub_b0, sub_dlo, sub_dhi, sub_chunk, vals_ref, lcols_ref,
+               b_ref, x_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.zeros_like(x_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+                jnp.int32
+            )
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            b0 = sub_b0[g]
+            dlo = sub_dlo[g]
+            dhi = sub_dhi[g]
+            bases = [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dlo, 8 * r), 255
+                )
+                for r in range(4)
+            ] + [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dhi, 8 * r), 255
+                )
+                for r in range(4)
+            ]
+            sel = jax.lax.shift_right_logical(lcols, 7)
+            gath = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for i in range(rank_nb):
+                xw = jnp.concatenate(
+                    [x_ref[pl.ds(bases[r] + i, 1), :] for r in range(SUBLANES)],
+                    axis=0,
+                )
+                gathered = jnp.take_along_axis(
+                    xw, idx, axis=1, mode="promise_in_bounds"
+                )
+                gath = gath + jnp.where(sel == i, gathered, 0.0)
+            acc_ref[:] = acc_ref[:] + jnp.sum(
+                vals * gath, axis=0, keepdims=True
+            )
+
+            c = sub_chunk[g]
+            is_last = sub_chunk[g + 1] != c
+
+            @pl.when(is_last)
+            def _():
+                x_ref[pl.ds(c, 1), :] = b_ref[pl.ds(c, 1), :] - acc_ref[:]
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    return kernel
+
+
+def _lower_solve_ranked(layout, b_scale, interpret):
+    rk = layout.ranked
+    total_k = int(rk.vals.shape[0])
+    tile_k = min(512, total_k)
+    num_tiles = total_k // tile_k
+    num_chunks = rk.num_chunks
+    sub_chunk_ext = jnp.concatenate(
+        [rk.sub_chunk, jnp.full((1,), num_chunks + 1, jnp.int32)]
+    )
+    # Guard blocks: the static gather loop reads up to base + rank_nb - 1.
+    x_blocks = num_chunks + 1 + rk.rank_nb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_scale, resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # x, resident
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+    )
+    x_pad = pl.pallas_call(
+        _make_ranked_solve_kernel(tile_k, rk.rank_nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rk.padded_nnz,
+            bytes_accessed=rk.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(rk.sub_b0, rk.sub_dlo, rk.sub_dhi, sub_chunk_ext, rk.vals, rk.lcols,
+      b_scale)
+    return x_pad.reshape(-1)[layout.pad_index]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def lower_solve(
     layout: LowerSolveLayout, b_scale: jax.Array | None = None,
@@ -193,6 +320,8 @@ def lower_solve(
     slabs = layout.slabs
     if b_scale is None:
         b_scale = layout.b_scale
+    if layout.ranked is not None:
+        return _lower_solve_ranked(layout, b_scale, interpret)
     total_k = int(slabs.vals.shape[0])
     tile_k = min(512, total_k)
     num_tiles = total_k // tile_k

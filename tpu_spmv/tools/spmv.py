@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"),
+                    help="apply RCM before the layout build; 'auto' follows "
+                    "the planner's needs_rcm (inputs from tools/convert's "
+                    "rcm/ directory are already reordered — use 'never')")
     ap.add_argument("--sigma", type=int, default=0,
                     help="SELL-C-sigma window: sort rows by descending "
                     "length within windows of this many rows before the "
@@ -73,11 +77,28 @@ def main(argv=None):
 
     mat = load_input(args.input)
 
+    work = mat
+    pre_perm = None
+    if args.rcm != "never" and mat.m == mat.n:
+        apply_rcm = args.rcm == "always"
+        if args.rcm == "auto":
+            apply_rcm = tpu_plan(mat).needs_rcm
+        if apply_rcm:
+            from tpu_spmv.reorder import rcm as rcm_fn
+
+            pre_perm = rcm_fn(mat.indptr, mat.indices)
+            work = mat.permuted(pre_perm)
+            print("RCM applied (converter.m role)")
+
     k = args.k if args.k is not None else (len(args.sizes) + 1 if args.sizes else 1)
     sizes = tuple(args.sizes) if args.sizes else tuple([16] * (k - 1))
-    ck = CSRkMatrix.build(mat, k=k, sup_row_sizes=sizes)
+    ck = CSRkMatrix.build(work, k=k, sup_row_sizes=sizes)
     print(f"k={k} sizes={list(sizes)} rows={mat.m} nnz={mat.nnz}")
-    out_perm = ck.perm
+    # Column (x) permutation: pre-RCM composed with the CSR-k perm. The
+    # sigma row sort below does not relabel columns, so x uses col_perm
+    # while validation uses out_perm (rows).
+    col_perm = ck.perm if pre_perm is None else pre_perm[ck.perm]
+    out_perm = col_perm
     if args.sigma:
         from tpu_spmv.formats.sell import sigma_sort
 
@@ -117,7 +138,7 @@ def main(argv=None):
         return lay
 
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
-    xj = jnp.asarray(ck.set_x(x))
+    xj = jnp.asarray(x[col_perm])
     if kernel == "sell":
         layout = build_or_load(SellSlabs)
         fn = spmv_sell
