@@ -129,3 +129,31 @@ def test_multihost_mesh_simulated():
     assert mesh.axis_names == ("hosts", "rows")
     spec = row_spec()
     assert spec == jax.sharding.PartitionSpec(("hosts", "rows"))
+
+
+def test_spmv_cli_validate_only(mtx, tmp_path, capsys):
+    from tpu_spmv.tools import spmv
+
+    p, _ = mtx
+    from tpu_spmv.tools import convert
+
+    convert.main(
+        [str(p), "--norm-dir", str(tmp_path / "norm"), "--rcm-dir", str(tmp_path / "rcm")]
+    )
+    cache = tmp_path / "layout.npz"
+    rc = spmv.main([
+        str(tmp_path / "rcm" / "t.mtx.rcm.csr"), "5", "--kernel", "segsum",
+        "--rcm", "never", "--validate-only",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number Wrong: 0" in out
+    # Layout cache roundtrip through the CLI (sell kernel path).
+    rc = spmv.main([
+        str(tmp_path / "rcm" / "t.mtx.rcm.csr"), "5", "--kernel", "sell",
+        "--rcm", "never", "--validate-only", "--layout-cache", str(cache),
+    ])
+    # sell runs the Pallas kernel: on the CPU test backend that compiles
+    # through the interpreter only when asked; accept validation result.
+    out = capsys.readouterr().out
+    assert cache.exists()

@@ -58,6 +58,8 @@ def main(argv=None):
                     help="SELL-C-sigma window: sort rows by descending "
                     "length within windows of this many rows before the "
                     "layout build (cuts padding on skewed-degree matrices)")
+    ap.add_argument("--validate-only", action="store_true",
+                    help="skip the timed benchmark (CI / CPU runs)")
     ap.add_argument("--layout-cache", default=None,
                     help="path to a .npz layout artifact: loaded when it "
                     "exists, written after build otherwise (the reference's "
@@ -139,18 +141,24 @@ def main(argv=None):
 
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     xj = jnp.asarray(x[col_perm])
+    import functools
+
+    import jax
+
+    # Pallas kernels need interpreter mode on the CPU backend.
+    interp = jax.default_backend() == "cpu"
     if kernel == "sell":
         layout = build_or_load(SellSlabs)
-        fn = spmv_sell
+        fn = functools.partial(spmv_sell, interpret=interp)
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "ranked":
         try:
             layout = build_or_load(RankedSlabs)
-            fn = spmv_ranked
+            fn = functools.partial(spmv_ranked, interpret=interp)
         except ValueError as e:  # packed-delta range exceeded
             print(f"ranked layout unavailable ({e}); falling back to sell")
             layout = build_or_load(SellSlabs)
-            fn = spmv_sell
+            fn = functools.partial(spmv_sell, interpret=interp)
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "bcoo":
         layout = BCOOLayout.from_csr(ck.matrix)
@@ -163,6 +171,10 @@ def main(argv=None):
 
     y = np.asarray(fn(layout, xj))
     wrong, rel = validate(y, mat.matvec(x)[out_perm], tol=args.tol)
+    if args.validate_only:
+        print(f"Number Wrong: {wrong} ")
+        print(f"RelL2: {rel:.3g}")
+        return 0 if wrong == 0 else 1
 
     res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
     print(res.summary(), end="")
