@@ -82,3 +82,22 @@ def test_csr3_round_trip(tmp_path):
     _assert_same(mat2, mat)
     np.testing.assert_array_equal(c1, coarsest)
     np.testing.assert_array_equal(c2, coarser)
+
+
+def test_csr2_roundtrip(tmp_path):
+    import numpy as np
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.csrk import CSRkMatrix
+    from tpu_spmv.io.csr_text import read_csr2_text, write_csr2_text
+
+    mat = random_banded(500, 30, 8, seed=0)
+    ck = CSRkMatrix.build(mat, k=2, sup_row_sizes=(16,))
+    p = tmp_path / "t.csr2"
+    write_csr2_text(p, ck.matrix, ck.maps[0])
+    back, sup = read_csr2_text(p)
+    np.testing.assert_array_equal(back.indptr, ck.matrix.indptr)
+    np.testing.assert_array_equal(back.indices, ck.matrix.indices)
+    # %.6f text: absolute error bounded by 5e-7.
+    np.testing.assert_allclose(back.data, ck.matrix.data, atol=1e-6)
+    np.testing.assert_array_equal(sup, np.asarray(ck.maps[0], dtype=np.int32))

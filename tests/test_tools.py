@@ -157,3 +157,17 @@ def test_spmv_cli_validate_only(mtx, tmp_path, capsys):
     # through the interpreter only when asked; accept validation result.
     out = capsys.readouterr().out
     assert cache.exists()
+
+
+def test_scaling_report():
+    from tpu_spmv.bench.matrices import random_banded, random_general
+    from tpu_spmv.tools.scaling import report
+
+    banded = random_banded(100_000, 500, 12, seed=0)
+    r = report(banded, 8)
+    assert r["halo_applicable"]
+    assert r["ici_bytes_per_dev_halo"] < r["ici_bytes_per_dev_allgather"]
+
+    scattered = random_general(100_000, 8, seed=1)
+    r2 = report(scattered, 8)
+    assert not r2["halo_applicable"]

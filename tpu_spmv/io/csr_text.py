@@ -71,6 +71,42 @@ def write_csr_text(path, mat: CSRMatrix, base: int = 0) -> None:
         f.write(" \n")
 
 
+def read_csr2_text(path):
+    """Read a .csr2 file: returns (mat, sup_row_ptr).
+
+    Single-level analog of .csr3 (reference: the `./reformat in out srs`
+    path, reformat-csr-to-csr3/spmv.cpp:132-197): header of four ints
+    (numCoarserRows m n nnz), the super-row pointer array, then CSR.
+    """
+    tok = _read_tokens(path)
+    n_sup, m, n, nnz = (int(t) for t in tok[:4])
+    p = 4
+    sup = np.array(tok[p : p + n_sup + 1], dtype=np.int64)
+    p += n_sup + 1
+    indptr = np.array(tok[p : p + m + 1], dtype=np.int64)
+    p += m + 1
+    indices = np.array(tok[p : p + nnz], dtype=np.int64)
+    p += nnz
+    data = np.array(tok[p : p + nnz], dtype=np.float32)
+    return CSRMatrix(indptr, indices, data, (m, n)), sup.astype(np.int32)
+
+
+def write_csr2_text(path, mat: CSRMatrix, sup_row_ptr) -> None:
+    """Write a .csr2 file (single pointer level; see read_csr2_text)."""
+    sup_row_ptr = np.asarray(sup_row_ptr, dtype=np.int64)
+    with open(path, "w") as f:
+        f.write(f"{sup_row_ptr.shape[0] - 1} {mat.m} {mat.n} {mat.nnz} \n")
+        for arr in (
+            sup_row_ptr,
+            mat.indptr.astype(np.int64),
+            mat.indices.astype(np.int64),
+        ):
+            f.write(" ".join(map(str, arr.tolist())))
+            f.write(" ")
+        f.write(" ".join(f"{v:.6f}" for v in mat.data.tolist()))
+        f.write(" ")
+
+
 def read_csr3_text(path):
     """Read a .csr3 file: returns (mat, coarsest_ptr, coarser_ptr).
 

@@ -20,7 +20,12 @@ import sys
 import time
 
 from tpu_spmv.formats.csrk import CSRkMatrix
-from tpu_spmv.io.csr_text import read_csr_text, write_csr3_text, write_csr_text
+from tpu_spmv.io.csr_text import (
+    read_csr_text,
+    write_csr2_text,
+    write_csr3_text,
+    write_csr_text,
+)
 from tpu_spmv.tune.model import reference_gpu_params
 
 
@@ -50,11 +55,15 @@ def main(argv=None):
         srs, ssrs = args.srs, args.ssrs
 
     tic = time.perf_counter()
-    ck = CSRkMatrix.build(mat, k=3, sup_row_sizes=(srs, ssrs))
+    k = 2 if args.output.endswith(".csr2") else 3
+    sup = (srs,) if k == 2 else (srs, ssrs)
+    ck = CSRkMatrix.build(mat, k=k, sup_row_sizes=sup)
     print(f"preprocessing took {time.perf_counter() - tic:f}s")
 
     if args.plain:
         write_csr_text(args.output, ck.matrix)
+    elif k == 2:
+        write_csr2_text(args.output, ck.matrix, ck.maps[0])
     else:
         write_csr3_text(args.output, ck.matrix, ck.maps[1], ck.maps[0])
     return 0

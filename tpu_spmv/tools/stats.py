@@ -11,13 +11,16 @@ from __future__ import annotations
 import argparse
 import sys
 
-from tpu_spmv.io.csr_text import read_csr3_text, read_csr_text
+from tpu_spmv.io.csr_text import read_csr2_text, read_csr3_text, read_csr_text
 from tpu_spmv.io.matrix_market import read_mtx
 
 
 def load(path):
     if path.endswith(".csr3"):
         mat, _, _ = read_csr3_text(path)
+        return mat
+    if path.endswith(".csr2"):
+        mat, _ = read_csr2_text(path)
         return mat
     if path.endswith(".mtx") or path.endswith(".mtx.gz"):
         return read_mtx(path)
