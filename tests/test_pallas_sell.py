@@ -74,7 +74,7 @@ def test_windowed_matches_resident():
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_ranked_windowed
 
-    mat = random_banded(1500, 50, 8, seed=4)
+    mat = random_banded(640, 40, 8, seed=4)
     lay = RankedSlabs.from_csr(mat)
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     y_res = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
@@ -89,8 +89,9 @@ def test_ranked_matches_oracle():
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.pallas_sell import spmv_ranked
 
-    for mat in (laplacian_2d(16), random_banded(400, 30, 6, seed=1),
-                random_general(300, 5, seed=2)):
+    # Small sizes: interpret mode executes eagerly per sub-tile.
+    for mat in (laplacian_2d(16), random_banded(256, 24, 6, seed=1),
+                random_general(160, 5, seed=2)):
         lay = RankedSlabs.from_csr(mat)
         x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
         y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))

@@ -31,8 +31,8 @@ def _rel(a, b):
 # which dispatches eagerly per sub-tile (minutes at 500+ rows).
 MATS = {
     "lap2d": laplacian_2d(12),
-    "banded": random_banded(220, 18, 6, seed=1),
-    "general": random_general(150, 5, seed=2),
+    "banded": random_banded(200, 18, 6, seed=1),
+    "general": random_general(100, 4, seed=2),
 }
 
 

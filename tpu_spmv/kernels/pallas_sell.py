@@ -1,4 +1,4 @@
-"""Flagship Pallas SpMV kernel over the SELL-slab layout.
+"""Flagship Pallas SpMV kernels over the SELL-slab layouts.
 
 Role-equivalent of the reference's tuned CSR-k kernels (CSRk_Graph::SpMV
 spmv-csrk/csrk.cpp:149-330 and cuSpMV_2/3/3_vec
@@ -7,18 +7,22 @@ instead of translated:
 
   grid step  = one (TILE_K, 128) slab tile streamed from HBM (large DMAs,
                double-buffered by the Pallas pipeline)
-  sub-tile   = (8, 128) VREG: 8 nonzero slots x 128 rows of one chunk;
-               per-sub-tile metadata [b0, nb) bounds the gather loop to
-               the x blocks actually touched (narrow after RCM)
-  gather     = hardware 128-lane dynamic-gather; the lane-local index
-               (col & 127) is hoisted out of the block loop, each
-               iteration is gather + block-match select
-  partials   = one (1, 128) row-sum per sub-tile; chunk totals come from
-               a sorted segment-sum outside the kernel (the hierarchy's
-               coarsest reduction level)
+  sub-tile   = (8, 128) VREG: 8 nonzero slots x 128 rows of one chunk
+  gather     = hardware 128-lane dynamic-gather from VMEM-resident x
 
-x is fully VMEM-resident: n <= ~2.5M rows on a 16MB-VMEM core. Larger
-matrices use the segment-sum fallback until the HBM-windowed variant.
+Three kernels share that frame (pick via tune.tpu_plan):
+  spmv_sell   — per-sub-tile windows [b0, b0+nb): loop over every block
+                the whole sub-tile touches (cheap iterations; the span is
+                the RCM bandwidth)
+  spmv_ranked — per-SUBLANE windows with cluster-aligned slots: 2-3
+                gather steps regardless of bandwidth, paired (2,128)
+                window loads (the flagship; see RankedSlabs)
+  spmv_ranked_windowed — same layout with x streamed from HBM in
+                per-tile windows (no VMEM residency cap on n)
+
+Partials: one (1,128) row-sum per sub-tile; chunk totals by reshape-sum
+when slab heights are uniform (chunk_q) or a sorted segment-sum
+otherwise. x VMEM residency caps the resident kernels at ~3M rows.
 """
 
 from __future__ import annotations
