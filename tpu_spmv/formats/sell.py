@@ -497,8 +497,11 @@ class RankedSlabs:
         T = S // subs_per_tile
         base_t = sub_base.reshape(T, subs_per_tile * SUBLANES)
         tile_b0 = base_t.min(axis=1)
+        # Window width covers the paired-load read extent (2 blocks per
+        # gather pair-step past each base).
+        reads_nb = 2 * max((rank_nb + 1) // 2, 1)
         win_w = (
-            int((base_t.max(axis=1) - tile_b0).max()) + rank_nb if T else 1
+            int((base_t.max(axis=1) - tile_b0).max()) + reads_nb if T else 2
         )
         win_w = _round_up(max(win_w, SUBLANES), SUBLANES)
 

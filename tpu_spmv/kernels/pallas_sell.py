@@ -338,18 +338,27 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int)
             ]
             sel = jax.lax.shift_right_logical(lcols, 7)
             acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for i in range(rank_nb):
-                xw = jnp.concatenate(
-                    [
-                        xwin[slot, pl.ds(bases[r] + i, 1), :]
-                        for r in range(SUBLANES)
-                    ],
-                    axis=0,
-                ).reshape(SUBLANES, LANES)
-                gathered = jnp.take_along_axis(
-                    xw, idx, axis=1, mode="promise_in_bounds"
+            for p in range((rank_nb + 1) // 2):
+                wins = [
+                    xwin[slot, pl.ds(bases[r] + 2 * p, 2), :]
+                    for r in range(SUBLANES)
+                ]
+                xw0 = jnp.concatenate([w[0:1] for w in wins], axis=0)
+                xw1 = jnp.concatenate([w[1:2] for w in wins], axis=0)
+                g0 = jnp.take_along_axis(
+                    xw0, idx, axis=1, mode="promise_in_bounds"
                 )
-                acc = acc + jnp.where(sel == i, gathered, 0.0)
+                g1 = jnp.take_along_axis(
+                    xw1, idx, axis=1, mode="promise_in_bounds"
+                )
+                if rank_nb == 2:
+                    acc = jnp.where(sel == 0, g0, g1)
+                else:
+                    acc = (
+                        acc
+                        + jnp.where(sel == 2 * p, g0, 0.0)
+                        + jnp.where(sel == 2 * p + 1, g1, 0.0)
+                    )
             part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
 
     return kernel
