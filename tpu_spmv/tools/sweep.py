@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--matrices", nargs="*", default=None)
     ap.add_argument("--kernels", nargs="*", default=["sell", "segsum"])
     ap.add_argument("--k", type=int, default=2)
+    ap.add_argument("--rcm", action="store_true",
+                    help="RCM-reorder each matrix before the CSR-k build "
+                    "(k=1 + --rcm is the flagship SpMV configuration)")
     ap.add_argument("--srs", nargs="*", type=int,
                     default=[8, 16, 24, 32, 48, 64, 96, 128],
                     help="super-row size grid (reference grid run_epyc.py:24)")
@@ -72,6 +75,10 @@ def main(argv=None):
             writer.writeheader()
         for name in names:
             mat = suite[name]
+            if args.rcm:
+                from tpu_spmv.reorder import rcm as rcm_fn
+
+                mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
             x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
             for kernel in args.kernels:
                 for srs in args.srs:
@@ -80,7 +87,8 @@ def main(argv=None):
                         continue
                     try:
                         ck = CSRkMatrix.build(
-                            mat, k=args.k, sup_row_sizes=(srs,) * (args.k - 1)
+                            mat, k=args.k,
+                            sup_row_sizes=(srs,) * max(args.k - 1, 0),
                         )
                         xj = jnp.asarray(ck.set_x(x))
                         if kernel == "sell":
