@@ -154,7 +154,15 @@ def main(argv=None):
     elif kernel == "ranked":
         try:
             layout = build_or_load(RankedSlabs)
-            fn = functools.partial(spmv_ranked, interpret=interp)
+            if mat.n > 3_000_000:
+                # x exceeds the VMEM residency budget: stream per-tile
+                # windows from HBM instead.
+                from tpu_spmv.kernels.pallas_sell import spmv_ranked_windowed
+
+                fn = functools.partial(spmv_ranked_windowed, interpret=interp)
+                print("x exceeds VMEM residency; using the HBM-windowed kernel")
+            else:
+                fn = functools.partial(spmv_ranked, interpret=interp)
         except ValueError as e:  # packed-delta range exceeded
             print(f"ranked layout unavailable ({e}); falling back to sell")
             layout = build_or_load(SellSlabs)
