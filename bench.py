@@ -53,7 +53,9 @@ def main():
         fn = spmv_sell
     y = np.asarray(fn(layout, xj))
     wrong, rel = validate(y, y_oracle)
-    flag = bench_spmv(fn, layout, xj)
+    # One large reps differential upfront: skips the escalation ladder's
+    # recompiles and keeps the slope well above the fetch-quantum jitter.
+    flag = bench_spmv(fn, layout, xj, reps_lo=50, reps_hi=1050, samples=4)
 
     seg = SegsumLayout.from_csr(mat)
     base = bench_spmv(spmv_segsum, seg, xj, reps_lo=2, reps_hi=10)
