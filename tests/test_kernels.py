@@ -26,3 +26,22 @@ def test_segsum_empty_rows():
     layout = SegsumLayout.from_csr(mat)
     y = np.asarray(spmv_segsum(layout, jnp.array([1.0, 10.0], jnp.float32)))
     np.testing.assert_allclose(y, [20.0, 0.0, 3.0])
+
+
+def test_spmm_matches_columnwise_spmv():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.spmm import spmm_ranked
+
+    mat = random_banded(256, 24, 6, seed=1)
+    lay = RankedSlabs.from_csr(mat)
+    B = 3
+    X = np.random.default_rng(0).standard_normal((mat.n, B)).astype(np.float32)
+    Y = np.asarray(spmm_ranked(lay, jnp.asarray(X), interpret=True))
+    Yref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    assert (
+        np.linalg.norm(Y - Yref) / np.linalg.norm(Yref) < 1e-6
+    )

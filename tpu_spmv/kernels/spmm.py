@@ -1,0 +1,175 @@
+"""Multi-vector SpMV (SpMM): Y = A @ X over the rank-windowed layout.
+
+Serving deployments apply one matrix to batches of vectors; the
+reference has no SpMM (single-vector drivers only), so this extends the
+kernel family. The economics differ from B independent SpMVs:
+
+  * slab traffic (the HBM bound) is paid ONCE for all B columns,
+  * each sublane's paired x window loads as one (2B, 128) dynamic copy
+    covering every column (X is staged block-major, column-minor), so
+    the dominant load count stays 8 per sub-tile pair-step,
+  * per column: 2 gathers + select + multiply-reduce on data already in
+    registers.
+
+Reuses RankedSlabs unchanged; B is a static kernel parameter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs
+from tpu_spmv.kernels.pallas_sell import _round_up
+
+
+def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int):
+    subs_per_tile = tile_k // SUBLANES
+    npairs = max((rank_nb + 1) // 2, 1)
+
+    def kernel(sub_b0, sub_dlo, sub_dhi, vals_ref, lcols_ref, x_ref, part_ref):
+        t = pl.program_id(0)
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+                jnp.int32
+            )
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            sel = jax.lax.shift_right_logical(lcols, 7)
+            b0 = sub_b0[g]
+            dlo = sub_dlo[g]
+            dhi = sub_dhi[g]
+            bases = [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dlo, 8 * r), 255
+                )
+                for r in range(4)
+            ] + [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dhi, 8 * r), 255
+                )
+                for r in range(4)
+            ]
+            accs = [jnp.zeros((SUBLANES, LANES), jnp.float32)] * B
+            for p in range(npairs):
+                # One (2B,128) load per sublane covers both window blocks
+                # of the pair-step for every column: rows [0,B) = block
+                # 2p, rows [B,2B) = block 2p+1, column-minor.
+                wins = [
+                    x_ref[pl.ds((bases[r] + 2 * p) * B, 2 * B), :]
+                    for r in range(SUBLANES)
+                ]
+                for b in range(B):
+                    xw0 = jnp.concatenate(
+                        [w[b : b + 1] for w in wins], axis=0
+                    )
+                    xw1 = jnp.concatenate(
+                        [w[B + b : B + b + 1] for w in wins], axis=0
+                    )
+                    g0 = jnp.take_along_axis(
+                        xw0, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    g1 = jnp.take_along_axis(
+                        xw1, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    if rank_nb == 2:
+                        accs[b] = jnp.where(sel == 0, g0, g1)
+                    else:
+                        accs[b] = (
+                            accs[b]
+                            + jnp.where(sel == 2 * p, g0, 0.0)
+                            + jnp.where(sel == 2 * p + 1, g1, 0.0)
+                        )
+            part = jnp.concatenate(
+                [
+                    jnp.sum(vals * accs[b], axis=0, keepdims=True)
+                    for b in range(B)
+                ],
+                axis=0,
+            )
+            part_ref[s * B : (s + 1) * B, :] = part
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmm_ranked(
+    layout: RankedSlabs, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X with X (n, B) float32 -> Y (m, B). B is static."""
+    n, B = X.shape
+    total_k = int(layout.vals.shape[0])
+    tile_k = layout.tile_k or min(512, total_k)
+    num_tiles = total_k // tile_k
+
+    reads_nb = 2 * max((layout.rank_nb + 1) // 2, 1)
+    n_pad = _round_up(max(layout.n, LANES), LANES) + reads_nb * LANES
+    nblocks = n_pad // LANES
+    # Stage X block-major, column-minor: row block*B + b holds
+    # X[block*128 : block*128+128, b].
+    Xp = jnp.zeros((nblocks * LANES, B), jnp.float32)
+    Xp = jax.lax.dynamic_update_slice(Xp, X.astype(jnp.float32), (0, 0))
+    x2d = (
+        Xp.reshape(nblocks, LANES, B)
+        .transpose(0, 2, 1)
+        .reshape(nblocks * B, LANES)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # staged X, resident
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_k // SUBLANES * B, LANES), lambda t, *_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    partials = pl.pallas_call(
+        _make_spmm_kernel(tile_k, layout.rank_nb, B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.num_subtiles * B, LANES), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.padded_nnz * B,
+            bytes_accessed=layout.hbm_bytes + 4 * (n + layout.m) * B,
+            transcendentals=0,
+        ),
+    )(layout.sub_b0, layout.sub_dlo, layout.sub_dhi, layout.vals,
+      layout.lcols, x2d)
+
+    nc = layout.num_chunks
+    q = layout.chunk_q
+    if q:
+        y = (
+            partials[: nc * q * B]
+            .reshape(nc, q, B, LANES)
+            .sum(axis=1)
+        )
+    else:
+        seg = jnp.repeat(layout.sub_chunk, B) * B + jnp.tile(
+            jnp.arange(B, dtype=layout.sub_chunk.dtype),
+            layout.num_subtiles,
+        )
+        sums = jax.ops.segment_sum(
+            partials, seg, num_segments=(nc + 1) * B, indices_are_sorted=True
+        )
+        y = sums[: nc * B].reshape(nc, B, LANES)
+    # (nc, B, 128) -> (nc*128, B) row-major.
+    return y.transpose(0, 2, 1).reshape(nc * LANES, B)[: layout.m]
