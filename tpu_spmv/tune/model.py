@@ -102,10 +102,10 @@ class TpuPlan:
 # XLA fallback, and the x window no longer fits cache-like reuse.
 _SPAN_LIMIT = 96
 # Measured on v5e (docs/PERF_NOTES.md): a ranked-kernel gather iteration
-# costs ~3.5x a plain-kernel iteration (8 per-sublane window loads vs a
-# hoisted broadcast), so rank windows only pay when they shrink the
-# loop by more than that factor.
-_RANKED_ITER_COST = 3.5
+# costs ~1.4x a plain-kernel iteration since the paired (2,128) window
+# loads (it was ~3.5x with per-block loads), so rank windows pay once
+# they shrink the loop by more than this factor (margin included).
+_RANKED_ITER_COST = 1.6
 
 
 def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
