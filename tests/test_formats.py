@@ -31,6 +31,19 @@ def test_matvec_empty_rows():
     np.testing.assert_allclose(y, [20.0, 0.0, 3.0])
 
 
+def test_matvec_trailing_empty_rows():
+    """ADVICE r1 repro: indptr [0,2,5,5] must give y[1] = full 3-term sum
+    (reduceat-with-clipped-starts truncated it to the last 2 terms)."""
+    mat = CSRMatrix(
+        np.array([0, 2, 5, 5], np.int32),
+        np.array([0, 1, 0, 1, 2], np.int32),
+        np.array([1.0, 1.0, 1.0, 10.0, 100.0], np.float32),
+        (3, 3),
+    )
+    y = mat.matvec(np.array([1.0, 1.0, 1.0], np.float32))
+    np.testing.assert_allclose(y, [2.0, 111.0, 0.0])
+
+
 def test_permuted_round_trip():
     mat = random_banded(300, 20, 8, seed=4)
     rng = np.random.default_rng(1)
@@ -92,6 +105,20 @@ def test_layout_save_load_roundtrip(tmp_path):
         assert a1 == a2
         for x, y in zip(c1, c2):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_layout_cache_rejects_wrong_matrix(tmp_path):
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.sell import SellSlabs, load_layout
+
+    mat = random_banded(400, 30, 6, seed=1)
+    other = random_banded(400, 30, 6, seed=2)
+    lay = SellSlabs.from_csr(mat)
+    p = tmp_path / "lay.npz"
+    lay.save(p, matrix=mat)
+    assert type(load_layout(p, matrix=mat)) is SellSlabs
+    with pytest.raises(ValueError, match="different matrix"):
+        load_layout(p, matrix=other)
 
 
 def test_sigma_sort_reduces_padding():

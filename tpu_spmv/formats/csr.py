@@ -130,11 +130,11 @@ class CSRMatrix:
         # Vectorized per-row segmented accumulation in f64 then cast keeps a
         # closer match to serial f32 than np.add.at in f32, while being fast.
         prods = self.data.astype(np.float64) * x[self.indices].astype(np.float64)
-        # reduceat rejects start == nnz (empty trailing rows); clip and mask
-        # empty rows to zero below.
-        starts = np.minimum(self.indptr[:-1].astype(np.int64), self.nnz - 1)
-        sums = np.add.reduceat(prods, starts, dtype=np.float64)
-        sums = np.where(self.row_lengths > 0, sums, 0.0)
+        # Prefix-sum difference handles empty rows anywhere (reduceat cannot:
+        # clipping its starts truncates the segment before trailing empties).
+        csum = np.concatenate(([0.0], np.cumsum(prods)))
+        ptr = self.indptr.astype(np.int64)
+        sums = csum[ptr[1:]] - csum[ptr[:-1]]
         y[:] = sums.astype(np.float32)
         return y
 

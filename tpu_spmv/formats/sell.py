@@ -180,7 +180,22 @@ def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
 
 
 
-def _save_layout(layout, path) -> None:
+def matrix_key(mat: CSRMatrix) -> np.ndarray:
+    """Cheap identity fingerprint (m, n, nnz, crc32 of structure+values).
+
+    Stored inside layout cache files so a stale artifact from a different
+    matrix (or different rcm/sigma/k preprocessing — those change the
+    matrix content) is rejected at load instead of silently benchmarked.
+    """
+    import zlib
+
+    h = zlib.crc32(np.ascontiguousarray(mat.indptr).tobytes())
+    h = zlib.crc32(np.ascontiguousarray(mat.indices).tobytes(), h)
+    h = zlib.crc32(np.ascontiguousarray(mat.data).tobytes(), h)
+    return np.asarray([mat.m, mat.n, mat.nnz, h], dtype=np.int64)
+
+
+def _save_layout(layout, path, matrix: CSRMatrix | None = None) -> None:
     """Persist a layout's device arrays + static config to .npz.
 
     The TPU analog of the reference's precompute artifacts (.csr2/.csr3
@@ -190,6 +205,8 @@ def _save_layout(layout, path) -> None:
     """
     children, aux = layout.tree_flatten()
     arrays = {f"c{i}": np.asarray(a) for i, a in enumerate(children)}
+    if matrix is not None:
+        arrays["__mkey__"] = matrix_key(matrix)
     np.savez_compressed(
         path,
         __class__=type(layout).__name__,
@@ -198,11 +215,22 @@ def _save_layout(layout, path) -> None:
     )
 
 
-def load_layout(path):
-    """Load a layout saved by SellSlabs.save / RankedSlabs.save."""
+def load_layout(path, matrix: CSRMatrix | None = None):
+    """Load a layout saved by SellSlabs.save / RankedSlabs.save.
+
+    When `matrix` is given, the cached fingerprint (if present) must
+    match it exactly — a mismatch raises instead of returning a layout
+    built from some other matrix.
+    """
     with np.load(path, allow_pickle=False) as z:
         clsname = str(z["__class__"])
         aux = tuple(int(v) for v in z["__aux__"])
+        if matrix is not None and "__mkey__" in z:
+            if not np.array_equal(z["__mkey__"], matrix_key(matrix)):
+                raise ValueError(
+                    f"layout cache {path} was built from a different matrix "
+                    "(or different rcm/sigma/k preprocessing); rebuild it"
+                )
         children = []
         i = 0
         while f"c{i}" in z:
@@ -242,8 +270,8 @@ class SellSlabs:
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
 
-    def save(self, path) -> None:
-        _save_layout(self, path)
+    def save(self, path, matrix: CSRMatrix | None = None) -> None:
+        _save_layout(self, path, matrix)
 
     @property
     def padded_nnz(self) -> int:
@@ -418,8 +446,8 @@ class RankedSlabs:
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
 
-    def save(self, path) -> None:
-        _save_layout(self, path)
+    def save(self, path, matrix: CSRMatrix | None = None) -> None:
+        _save_layout(self, path, matrix)
 
     @property
     def padded_nnz(self) -> int:

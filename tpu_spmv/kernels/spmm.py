@@ -167,8 +167,10 @@ def spmm_ranked(
             jnp.arange(B, dtype=layout.sub_chunk.dtype),
             layout.num_subtiles,
         )
+        # seg is NOT sorted when a chunk owns >1 sub-tile (ids cycle
+        # c*B..c*B+B-1 per sub-tile) — the sorted hint would be UB.
         sums = jax.ops.segment_sum(
-            partials, seg, num_segments=(nc + 1) * B, indices_are_sorted=True
+            partials, seg, num_segments=(nc + 1) * B, indices_are_sorted=False
         )
         y = sums[: nc * B].reshape(nc, B, LANES)
     # (nc, B, 128) -> (nc*128, B) row-major.

@@ -125,7 +125,7 @@ def main(argv=None):
         if cache and pathlib.Path(cache).exists():
             from tpu_spmv.formats.sell import load_layout
 
-            lay = load_layout(cache)
+            lay = load_layout(cache, matrix=ck.matrix)
             if type(lay) is not cls:
                 raise SystemExit(
                     f"cached layout is {type(lay).__name__}, kernel wants "
@@ -135,7 +135,7 @@ def main(argv=None):
             return lay
         lay = cls.from_csr(ck.matrix)
         if cache:
-            lay.save(cache)
+            lay.save(cache, matrix=ck.matrix)
             print(f"saved layout to {cache}")
         return lay
 

@@ -136,12 +136,25 @@ def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
     nchunks = int(chunks.max()) + 1
 
     key = chunks * maxlen + ranks
-    lo = np.full(nchunks * maxlen, np.iinfo(np.int64).max)
-    hi = np.full(nchunks * maxlen, -1)
-    np.minimum.at(lo, key, blocks)
-    np.maximum.at(hi, key, blocks)
-    used = hi >= 0
-    rank_nb = int((hi[used] - lo[used]).max()) + 1 if used.any() else 1
+    if nchunks * maxlen <= 8 * max(mat.nnz, 1):
+        lo = np.full(nchunks * maxlen, np.iinfo(np.int64).max)
+        hi = np.full(nchunks * maxlen, -1)
+        np.minimum.at(lo, key, blocks)
+        np.maximum.at(hi, key, blocks)
+        used = hi >= 0
+        rank_nb = int((hi[used] - lo[used]).max()) + 1 if used.any() else 1
+    else:
+        # Sparse path: one very long row on a multi-million-row matrix makes
+        # nchunks*maxlen scratch dwarf nnz (ADVICE r1). Sort by key and take
+        # per-group extrema via reduceat over group starts.
+        order = np.argsort(key, kind="stable")
+        kb = blocks[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[order][1:] != key[order][:-1]))
+        )
+        glo = np.minimum.reduceat(kb, starts)
+        ghi = np.maximum.reduceat(kb, starts)
+        rank_nb = int((ghi - glo).max()) + 1 if starts.size else 1
 
     clo = np.full(nchunks, np.iinfo(np.int64).max)
     chi = np.full(nchunks, -1)
