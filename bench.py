@@ -46,7 +46,7 @@ def main():
 
     plan = tpu_plan(mat, assume_rcm=True)
     if plan.kernel == "ranked":
-        layout = RankedSlabs.from_csr(mat)
+        layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
         fn = spmv_ranked
     else:
         layout = SellSlabs.from_csr(mat)

@@ -96,3 +96,48 @@ def test_ranked_matches_oracle():
         x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
         y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
         assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_binned_matches_oracle():
+    """Column-binned slots (scattered-matrix mode): parity at every bin
+    width on scattered, banded, and stencil structure."""
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked
+
+    for mat in (random_general(2000, 8, seed=2),
+                random_banded(1500, 300, 8, seed=1),
+                laplacian_2d(40)):
+        x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+        y_ref = mat.matvec(x)
+        for w in (1, 2, 4, 8):
+            lay = RankedSlabs.from_csr(mat, bin_blocks=w)
+            assert lay.rank_nb <= w
+            y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
+            assert _rel(y, y_ref) < 1e-6, (w, mat.shape)
+
+
+def test_binned_slots_invariants():
+    """Every slot's columns stay inside one bin; entry count preserved."""
+    from tpu_spmv.formats.sell import _binned_slots
+
+    mat = random_general(3000, 10, seed=7)
+    for w in (1, 4):
+        slots, kc = _binned_slots(mat, w)
+        assert slots.shape[0] == mat.nnz
+        rows = np.repeat(np.arange(mat.m), mat.row_lengths)
+        chunks = rows // LANES
+        # No slot collisions within (chunk, slot, lane).
+        lane = rows % LANES
+        key = (chunks * (kc.max() + 1) + slots) * LANES + lane
+        assert np.unique(key).shape[0] == mat.nnz
+        # Per-(chunk, slot) column span <= bin width.
+        blocks = mat.indices.astype(np.int64) >> 7
+        k2 = chunks * (kc.max() + 1) + slots
+        import collections
+        lo = {}
+        hi = {}
+        for kk, bb in zip(k2, blocks):
+            lo[kk] = min(lo.get(kk, bb), bb)
+            hi[kk] = max(hi.get(kk, bb), bb)
+        span = max(h - lo[k] for k, h in hi.items())
+        assert span < w + 1

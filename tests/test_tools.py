@@ -82,10 +82,12 @@ def test_tpu_plan_kernels():
     from tpu_spmv.bench.matrices import random_general
 
     # Scattered columns over a 50k-wide space: p95 chunk span ~380 blocks,
-    # far past the gather-compute limit -> segment-sum fallback.
+    # far past the plain gather loop -> column-binned rank windows.
     scattered = random_general(50_000, 8, seed=2)
     plan2 = tpu_plan(scattered, assume_rcm=True)
-    assert plan2.kernel == "segsum"
+    assert plan2.kernel == "ranked" and plan2.bin_blocks > 0, (
+        plan2.kernel, plan2.bin_blocks, plan2.reason
+    )
 
 
 def test_analyze_cli(mtx, tmp_path, capsys):

@@ -195,6 +195,120 @@ def matrix_key(mat: CSRMatrix) -> np.ndarray:
     return np.asarray([mat.m, mat.n, mat.nnz, h], dtype=np.int64)
 
 
+def _binned_slots(mat: CSRMatrix, bin_blocks: int):
+    """Column-binned slot assignment: the scattered-matrix layout.
+
+    Aligned slots (_aligned_slots) need band structure: for a scattered
+    matrix every 64-column bin holds ~1 entry per chunk, the slot count
+    explodes past the padding cap, and the planner used to punt to the
+    XLA segment-sum at ~0.1 GF/s (the reference's CSR-k kernel is
+    structure-agnostic and runs such matrices at full speed,
+    spmv-csrk/csrk.cpp:149-330 — this was the round-1 capability hole).
+
+    Here each chunk's entries are grouped by fixed-width column bins of
+    `bin_blocks` x-blocks (bin = col >> (7 + log2(bin_blocks))); a bin's
+    slots hold only columns from that bin, so every slot's gather window
+    spans <= bin_blocks blocks no matter how scattered the matrix is.
+    The cost is fill padding (slots per bin = max entries per lane,
+    Poisson for random structure) — cheap on TPU, where padded slabs
+    stream at HBM rate and the win is the bounded gather loop.
+
+    Requires per-row ascending columns (CSRMatrix invariant). Returns
+    (slots, kc) like _aligned_slots. Guarantees that within every
+    quantized 8-slot sub-tile the bin spread keeps packed window deltas
+    <= 255 blocks (RankedSlabs' SMEM packing), inserting empty slots at
+    oversized jumps.
+    """
+    if bin_blocks < 1 or (bin_blocks & (bin_blocks - 1)):
+        raise ValueError("bin_blocks must be a power of two >= 1")
+    m = mat.m
+    nnz = mat.nnz
+    num_chunks = max(_round_up(m, LANES) // LANES, 1)
+    shift = 7 + int(bin_blocks).bit_length() - 1
+    nbins = (max(mat.n - 1, 0) >> shift) + 1
+    if nnz == 0:
+        return np.zeros(0, np.int64), np.ones(num_chunks, np.int64)
+
+    lens = mat.row_lengths.astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    chunks = rows >> 7
+    bins = mat.indices.astype(np.int64) >> shift
+
+    # Per-(row, bin) ordinal: columns ascend within a row, so equal
+    # (row, bin) entries are consecutive.
+    change = np.empty(nnz, dtype=bool)
+    change[0] = True
+    change[1:] = (rows[1:] != rows[:-1]) | (bins[1:] != bins[:-1])
+    seg_start = np.maximum.accumulate(np.where(change, np.arange(nnz), 0))
+    within = np.arange(nnz) - seg_start
+
+    # Width per (chunk, bin) = max per-lane entry count; bases by cumsum
+    # within the chunk (bin-sorted). Sparse group-by: the dense
+    # (num_chunks x nbins) table can dwarf nnz for wide matrices.
+    wkey = chunks * nbins + bins
+    uk, inv = np.unique(wkey, return_inverse=True)
+    width = np.zeros(uk.shape[0], dtype=np.int64)
+    np.maximum.at(width, inv, within + 1)
+    cums = np.cumsum(width)
+    gchunk = uk // nbins
+    first = np.empty(uk.shape[0], dtype=bool)
+    first[0] = True
+    np.not_equal(gchunk[1:], gchunk[:-1], out=first[1:])
+    chunk_start = np.maximum.accumulate(
+        np.where(first, cums - width, 0)
+    )
+    base = cums - width - chunk_start  # exclusive prefix within chunk
+    kc = np.zeros(num_chunks, dtype=np.int64)
+    np.add.at(kc, gchunk, width)
+
+    slots = base[inv] + within
+
+    # Packed-delta guard: within each quantized 8-slot sub-tile the bin
+    # spread must keep (bin_hi - bin_lo) * W + (W - 1) <= 255. Check per
+    # chunk on the slot->bin map; offending chunks get empty slots
+    # inserted so oversized jumps start a fresh sub-tile.
+    gbin = uk - gchunk * nbins
+    kc_off = np.zeros(num_chunks + 1, dtype=np.int64)
+    np.cumsum(kc, out=kc_off[1:])
+    slot_bin = np.repeat(gbin, width)  # concatenated per-chunk slot->bin
+    limit_bins = max((255 - (bin_blocks - 1)) // bin_blocks, 0)
+
+    bad = np.zeros(num_chunks, dtype=bool)
+    for c in np.flatnonzero(kc > 8):
+        sb = slot_bin[kc_off[c] : kc_off[c + 1]]
+        k8 = (sb.shape[0] // 8) * 8
+        if k8:
+            g = sb[:k8].reshape(-1, 8)
+            if int((g[:, 7] - g[:, 0]).max()) > limit_bins:
+                bad[c] = True
+        tail = sb[k8:]
+        if tail.size and int(tail[-1] - tail[0]) > limit_bins:
+            bad[c] = True
+    if bad.any():
+        remap = {}
+        for c in np.flatnonzero(bad):
+            sb = slot_bin[kc_off[c] : kc_off[c + 1]]
+            new_idx = np.empty(sb.shape[0], dtype=np.int64)
+            pos = 0
+            start_bin = int(sb[0])
+            for i in range(sb.shape[0]):
+                if pos % 8 == 0:
+                    start_bin = int(sb[i])
+                elif int(sb[i]) - start_bin > limit_bins:
+                    pos = _round_up(pos, 8)
+                    start_bin = int(sb[i])
+                new_idx[i] = pos
+                pos += 1
+            remap[c] = new_idx
+            kc[c] = pos
+        for c, new_idx in remap.items():
+            sel = chunks == c
+            slots[sel] = new_idx[slots[sel]]
+
+    kc = np.maximum(kc, 1)
+    return slots, kc
+
+
 def _save_layout(layout, path, matrix: CSRMatrix | None = None) -> None:
     """Persist a layout's device arrays + static config to .npz.
 
@@ -293,7 +407,8 @@ class SellSlabs:
 
     @classmethod
     def from_csr(
-        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = False
+        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = False,
+        bin_blocks: int = 0,
     ) -> "SellSlabs":
         """Build the layout from a (preferably RCM'd) CSR matrix.
 
@@ -301,12 +416,16 @@ class SellSlabs:
         align: cluster-aligned slot assignment (see _aligned_slots) —
         slightly more padding, much narrower per-sublane gather windows
         for stencil-like structures (used by RankedSlabs).
+        bin_blocks > 0: column-binned slots (_binned_slots) for
+        scattered matrices — overrides align.
         """
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
         rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
-        if align:
+        if bin_blocks:
+            ranks, kc_raw = _binned_slots(mat, bin_blocks)
+        elif align:
             ranks, kc_raw = _aligned_slots(mat)
         else:
             lens = np.zeros(num_chunks * LANES, dtype=np.int64)
@@ -468,9 +587,12 @@ class RankedSlabs:
 
     @classmethod
     def from_csr(
-        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True
+        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True,
+        bin_blocks: int = 0,
     ) -> "RankedSlabs":
-        base = SellSlabs.from_csr(mat, tile_k=tile_k, align=align)
+        base = SellSlabs.from_csr(
+            mat, tile_k=tile_k, align=align, bin_blocks=bin_blocks
+        )
         cols = np.asarray(base.cols)  # absolute, padding pre-filled in-window
         vals = np.asarray(base.vals)
         total_k = cols.shape[0]

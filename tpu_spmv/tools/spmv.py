@@ -54,6 +54,10 @@ def main(argv=None):
                     help="apply RCM before the layout build; 'auto' follows "
                     "the planner's needs_rcm (inputs from tools/convert's "
                     "rcm/ directory are already reordered — use 'never')")
+    ap.add_argument("--bin-blocks", type=int, default=-1,
+                    help="column-bin width in 128-col x blocks for the "
+                    "ranked layout (scattered-matrix mode); -1 = follow "
+                    "the planner, 0 = cluster-aligned slots")
     ap.add_argument("--sigma", type=int, default=0,
                     help="SELL-C-sigma window: sort rows by descending "
                     "length within windows of this many rows before the "
@@ -113,10 +117,15 @@ def main(argv=None):
         print(f"sigma={args.sigma} row sort applied")
 
     kernel = args.kernel
+    bin_blocks = args.bin_blocks
     if kernel == "auto":
         plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
         kernel = plan.kernel
+        if bin_blocks < 0:
+            bin_blocks = plan.bin_blocks
         print(f"auto kernel: {kernel} ({plan.reason})")
+    if bin_blocks < 0:
+        bin_blocks = 0
 
     import pathlib
 
@@ -133,7 +142,7 @@ def main(argv=None):
                 )
             print(f"loaded layout from {cache}")
             return lay
-        lay = cls.from_csr(ck.matrix)
+        lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks)
         if cache:
             lay.save(cache, matrix=ck.matrix)
             print(f"saved layout to {cache}")

@@ -95,17 +95,30 @@ class TpuPlan:
     est_max_nb: float  # per-chunk span estimate (plain-kernel loop count)
     est_rank_nb: float  # per-rank span estimate (ranked-kernel loop count)
     reason: str
+    bin_blocks: int = 0  # >0: ranked kernel over column-binned slots
+    est_cost: float = 0.0  # plain-iteration units (relative)
 
 
 # The SELL kernel gathers x block-by-block; beyond this span per chunk
 # the unrolled gather loop's compute exceeds any streaming win over the
-# XLA fallback, and the x window no longer fits cache-like reuse.
+# XLA fallback, and the unrolled code size explodes.
 _SPAN_LIMIT = 96
 # Measured on v5e (docs/PERF_NOTES.md): a ranked-kernel gather iteration
 # costs ~1.4x a plain-kernel iteration since the paired (2,128) window
 # loads (it was ~3.5x with per-block loads), so rank windows pay once
 # they shrink the loop by more than this factor (margin included).
 _RANKED_ITER_COST = 1.6
+# Ranked-kernel sub-tile cost model in plain-iteration units (~4 VPU ops
+# each), calibrated on v5e from the general_50k bin-width sweep (r2):
+# t/sub-tile fits 2.08 + 0.58*pairs in arb units = 13 + 3.7*pairs cycles
+# — the per-sub-tile FIXED cost (slab loads, scalar base unpacking,
+# sublane reduce) dominates the pair-steps.
+_RANKED_FIXED = 3.3
+_PAIR_COST = 0.95
+# Slab-streaming floor per sub-tile: 8x128x6B at ~3.5KB per unit.
+_TRAFFIC_FLOOR = 1.7
+# Candidate column-bin widths (x blocks) for the scattered-matrix mode.
+_BIN_WIDTHS = (1, 2, 4, 8, 16)
 
 
 def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
@@ -165,40 +178,168 @@ def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
     return chunk_nb, rank_nb
 
 
+def _exact_chunk_nb(mat) -> int:
+    """Max per-128-row-chunk column span in x blocks (O(nnz), vectorized)."""
+    from tpu_spmv.formats.sell import LANES
+
+    if mat.nnz == 0 or mat.m == 0:
+        return 1
+    rows = np.repeat(
+        np.arange(mat.m, dtype=np.int64), mat.row_lengths
+    )
+    chunks = rows // LANES
+    blocks = mat.indices.astype(np.int64) >> 7
+    nchunks = int(chunks.max()) + 1
+    clo = np.full(nchunks, np.iinfo(np.int64).max)
+    chi = np.full(nchunks, -1)
+    np.minimum.at(clo, chunks, blocks)
+    np.maximum.at(chi, chunks, blocks)
+    used = chi >= 0
+    return int((chi[used] - clo[used]).max()) + 1 if used.any() else 1
+
+
+def _sample_chunks(mat, max_chunks: int = 256):
+    """Row-sliced submatrix of evenly spaced 128-row chunks (columns kept).
+
+    Slot assignment is independent per chunk, so per-chunk layout stats
+    (slab heights, padding) measured on the sample extrapolate linearly;
+    returns (submatrix, scale) with scale = total_chunks / sampled.
+    """
+    from tpu_spmv.formats.sell import LANES
+
+    m = mat.m
+    num_chunks = max(-(-m // LANES), 1)
+    if num_chunks <= max_chunks:
+        return mat, 1.0
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    pick = np.unique(
+        np.linspace(0, num_chunks - 1, max_chunks).astype(np.int64)
+    )
+    indptr = [np.zeros(1, np.int64)]
+    indices, data = [], []
+    total = 0
+    ip = mat.indptr.astype(np.int64)
+    for c in pick:
+        r0, r1 = c * LANES, min((c + 1) * LANES, m)
+        e0, e1 = int(ip[r0]), int(ip[r1])
+        indptr.append(ip[r0 + 1 : r1 + 1] - e0 + total)
+        indices.append(mat.indices[e0:e1])
+        data.append(mat.data[e0:e1])
+        total += e1 - e0
+        if r1 - r0 < LANES:  # tail chunk: keep 128-row framing via pad rows
+            indptr.append(np.full(LANES - (r1 - r0), total, np.int64))
+    sub = CSRMatrix(
+        np.concatenate(indptr).astype(np.int32),
+        np.concatenate(indices),
+        np.concatenate(data).astype(np.float32),
+        (pick.shape[0] * LANES, mat.n),
+    )
+    return sub, num_chunks / pick.shape[0]
+
+
+def _subtiles_from_kc(kc) -> int:
+    from tpu_spmv.formats.sell import SUBLANES
+
+    kcq = np.maximum((kc + SUBLANES - 1) // SUBLANES, 1)
+    return int(kcq.sum())
+
+
+def _ranked_subtile_cost(rank_nb: int) -> float:
+    pairs = max((rank_nb + 1) // 2, 1)
+    return max(_RANKED_FIXED + _PAIR_COST * pairs, _TRAFFIC_FLOOR)
+
+
 def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
     """Choose kernel + layout parameters from matrix structure.
 
+    Minimizes a measured v5e cost model (plain-iteration units) over the
+    candidate layouts: plain SELL (chunk-span loop), cluster-aligned
+    rank windows, and column-binned rank windows at several bin widths
+    (the scattered-matrix mode — the reference's CSR-k is structure-
+    agnostic, spmv-csrk/csrk.cpp:149-330, so ours must be too).
+
     mat: CSRMatrix (ideally already RCM'd; set assume_rcm if so).
-    exact=True measures the real spans (O(nnz)); False estimates from
-    band percentiles only.
+    exact=True measures real spans (O(nnz), sampled beyond 256 chunks);
+    False estimates from band percentiles only.
     """
-    from tpu_spmv.formats.sell import LANES
+    from tpu_spmv.formats.sell import (
+        LANES, SUBLANES, _aligned_slots, _binned_slots,
+    )
 
     m = mat.m
     bands = mat.row_bands()
     est_span_cols = float(np.percentile(bands, 95)) + LANES if m else 1.0
     est_nb = est_span_cols / LANES
     est_rank = est_nb
+    candidates = []  # (cost, kernel, bin_blocks, reason)
+
+    sampled = None
     if exact and mat.nnz and int(mat.row_lengths.max()) <= 2048:
-        chunk_nb, rank_nb = exact_rank_nb(mat)
+        chunk_nb = _exact_chunk_nb(mat)  # global: the sell loop is static
+        sampled, scale = _sample_chunks(mat)
+        # Aligned rank span on the sample (the full _aligned_slots pass
+        # is the layout build itself); the build recomputes the true
+        # global rank_nb, so this only steers the choice.
+        _, rank_nb = exact_rank_nb(sampled)
         est_nb, est_rank = float(chunk_nb), float(rank_nb)
+
+        lens = sampled.row_lengths.astype(np.int64)
+        nch = max(-(-sampled.m // LANES), 1)
+        lpad = np.zeros(nch * LANES, np.int64)
+        lpad[: sampled.m] = lens
+        kc_ord = lpad.reshape(nch, LANES).max(axis=1)
+        s_ord = _subtiles_from_kc(kc_ord) * scale
+        if est_nb <= _SPAN_LIMIT:
+            candidates.append((
+                s_ord * max(est_nb, _TRAFFIC_FLOOR), "sell", 0,
+                f"plain gather loop over chunk span {est_nb:.0f} blocks",
+            ))
+
+        _, kc_ali = _aligned_slots(sampled)
+        s_ali = _subtiles_from_kc(kc_ali) * scale
+        if est_rank <= 250:
+            candidates.append((
+                s_ali * _ranked_subtile_cost(int(est_rank)), "ranked", 0,
+                f"aligned rank windows, span {est_rank:.0f} blocks",
+            ))
+
+        for w in _BIN_WIDTHS:
+            if w * LANES >= 2 * max(mat.n, 1):
+                break
+            try:
+                _, kc_bin = _binned_slots(sampled, w)
+            except ValueError:
+                continue
+            s_bin = _subtiles_from_kc(kc_bin) * scale
+            candidates.append((
+                s_bin * _ranked_subtile_cost(w), "ranked", w,
+                f"column-binned rank windows, W={w} blocks, "
+                f"padding {s_bin * SUBLANES * LANES / max(mat.nnz, 1):.1f}x",
+            ))
+
     needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
 
-    if est_nb > _SPAN_LIMIT and est_rank * _RANKED_ITER_COST > _SPAN_LIMIT:
-        kernel, reason = "segsum", (
-            f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT} and rank "
-            f"windows ({est_rank:.0f}) are no cheaper; XLA segment-sum"
-        )
-    elif est_nb > _RANKED_ITER_COST * est_rank and est_rank <= 250:
-        kernel, reason = "ranked", (
-            f"rank span {est_rank:.0f} vs chunk span {est_nb:.0f} blocks; "
-            f"per-sublane windows win (> {_RANKED_ITER_COST}x loop cut)"
-        )
+    if not candidates:
+        # Estimation-only path (exact=False or degenerate matrix): keep
+        # the round-1 span-threshold heuristics.
+        if est_nb > _SPAN_LIMIT and est_rank * _RANKED_ITER_COST > _SPAN_LIMIT:
+            kernel, bin_blocks, reason = "segsum", 0, (
+                f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}; "
+                "XLA segment-sum"
+            )
+        elif est_nb > _RANKED_ITER_COST * est_rank and est_rank <= 250:
+            kernel, bin_blocks, reason = "ranked", 0, (
+                f"rank span {est_rank:.0f} vs chunk span {est_nb:.0f}"
+            )
+        else:
+            kernel, bin_blocks, reason = "sell", 0, (
+                f"chunk span {est_nb:.0f} vs rank span {est_rank:.0f}"
+            )
+        cost = 0.0
     else:
-        kernel, reason = "sell", (
-            f"chunk span {est_nb:.0f} vs rank span {est_rank:.0f} blocks; "
-            "plain gather loop is cheapest"
-        )
+        cost, kernel, bin_blocks, reason = min(candidates, key=lambda c: c[0])
+
     return TpuPlan(
         kernel=kernel,
         tile_k=512,
@@ -206,4 +347,6 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         est_max_nb=est_nb,
         est_rank_nb=est_rank,
         reason=reason,
+        bin_blocks=bin_blocks,
+        est_cost=float(cost),
     )
