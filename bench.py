@@ -61,10 +61,13 @@ def main():
     base = bench_spmv(spmv_segsum, seg, xj, reps_lo=2, reps_hi=10)
 
     roof = roofline_nnzs(layout.hbm_bytes / max(mat.nnz, 1))
+    # Ideal-CSR roofline (BASELINE.md): ~8 B/nnz (val+col), padding-free.
+    roof_ideal = roofline_nnzs(8.0)
     print(
         f"# flagship [{plan.kernel}]: {flag.gflops:.1f} GFLOP/s "
         f"({flag.gnnzs:.1f} Gnnz/s, "
-        f"{100 * flag.gnnzs * 1e9 / roof:.0f}% layout roofline) | "
+        f"{100 * flag.gnnzs * 1e9 / roof:.0f}% layout roofline, "
+        f"{100 * flag.gnnzs * 1e9 / roof_ideal:.0f}% ideal-CSR roofline) | "
         f"baseline segsum: {base.gflops:.2f} GFLOP/s | "
         f"wrong={wrong} relL2={rel:.1e} pad={layout.padding_ratio:.2f}",
         file=sys.stderr,

@@ -1,3 +1,6 @@
+import csv
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -173,3 +176,66 @@ def test_scaling_report():
     scattered = random_general(100_000, 8, seed=1)
     r2 = report(scattered, 8)
     assert not r2["halo_applicable"]
+
+
+FIXTURE = pathlib.Path(__file__).parent / "data" / "fem496.mtx"
+
+
+def test_fixture_mtx_end_to_end(tmp_path, capsys):
+    """Committed SuiteSparse-form fixture through the full pipeline:
+    symmetric-expansion read -> convert (norm/+rcm/) -> spmv validate
+    (the reference's converter.m -> run_*.py path on a real file)."""
+    from tpu_spmv.io import read_mtx
+    from tpu_spmv.tools import convert, spmv
+
+    mat = read_mtx(FIXTURE)
+    assert mat.shape == (496, 496)
+    assert mat.nnz == 2 * 2335 - 496  # symmetric expansion, diag once
+    convert.main([
+        str(FIXTURE), "--norm-dir", str(tmp_path / "norm"),
+        "--rcm-dir", str(tmp_path / "rcm"),
+    ])
+    rcm_file = tmp_path / "rcm" / "fem496.mtx.rcm.csr"
+    assert rcm_file.exists()
+    rc = spmv.main([
+        str(rcm_file), "--kernel", "segsum", "--rcm", "never",
+        "--validate-only",
+    ])
+    assert rc == 0
+    assert "Number Wrong: 0" in capsys.readouterr().out
+
+
+def test_sweep_accepts_file_inputs(tmp_path, capsys):
+    """Reference runners sweep directories of matrix files
+    (run_epyc.py:85-100); ours accepts paths/globs too."""
+    from tpu_spmv.tools import sweep
+
+    out = tmp_path / "s.csv"
+    rc = sweep.main([
+        "--out", str(out), "--matrices", str(FIXTURE),
+        "--kernels", "segsum", "--k", "1", "--srs", "8", "--rcm",
+    ])
+    assert rc == 0
+    rows = list(csv.DictReader(open(out)))
+    assert rows and rows[0]["matrix"] == "fem496.mtx"
+    assert int(rows[0]["num_wrong"]) == 0
+
+
+def test_weak_scaling_harness():
+    """Halo traffic per device is O(band), constant as D grows; the
+    sharded flagship executes and validates at each D on the virtual
+    mesh (BASELINE.md >=70% weak-scaling target's schedule check)."""
+    from tpu_spmv.tools.scaling import weak_scaling
+
+    rows = weak_scaling([1, 2, 4, 8], base_rows=1024, band=48)
+    halo_bytes = [r["ici_bytes_per_dev"] for r in rows if r["devices"] > 1]
+    assert len(set(halo_bytes)) == 1  # constant per device, not O(n)
+    n8 = rows[-1]["rows"]
+    assert halo_bytes[0] < 4 * n8 / 8  # far below the all-gather bound
+    for r in rows:
+        if r["devices"] > 1:
+            assert r["halo_rows"] > 0
+            assert r["model_efficiency"] >= 0.70
+        if r["executed"]:
+            assert r["num_wrong"] == 0
+    assert any(r["executed"] for r in rows)

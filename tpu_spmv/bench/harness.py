@@ -49,9 +49,13 @@ class BenchResult:
         )
 
 
-def _loop_fn(spmv, layout, reps):
+def _loop_fn(spmv, reps):
+    # The layout is a jit ARGUMENT (it is a registered pytree), not a
+    # closure constant: closing over it bakes the slab arrays into the
+    # HLO as literals, which the remote-compile relay rejects for large
+    # matrices (HTTP 413) and which skews constant folding.
     @jax.jit
-    def run(x):
+    def run(layout, x):
         def body(i, xv):
             y = spmv(layout, xv)
             # Nonlinear-ish feedback so XLA cannot hoist the SpMV out of
@@ -62,13 +66,13 @@ def _loop_fn(spmv, layout, reps):
     return run
 
 
-def _min_time(fn, x, samples: int) -> float:
-    best = float("inf")
+def _times(fn, layout, x, samples: int) -> list:
+    out = []
     for _ in range(samples):
         t0 = time.perf_counter()
-        np.asarray(fn(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        np.asarray(fn(layout, x))
+        out.append(time.perf_counter() - t0)
+    return out
 
 
 def bench_spmv(
@@ -90,14 +94,14 @@ def bench_spmv(
     until the work difference dominates the jitter (>= 4 quanta): below
     that, quantization alone produces 10-30% slope error.
     """
-    lo = _loop_fn(spmv, layout, reps_lo)
-    hi = _loop_fn(spmv, layout, reps_hi)
-    np.asarray(lo(x))  # compile + warm both
-    np.asarray(hi(x))
-    t_lo = _min_time(lo, x, samples)
-    t_hi = _min_time(hi, x, samples)
+    lo = _loop_fn(spmv, reps_lo)
+    hi = _loop_fn(spmv, reps_hi)
+    np.asarray(lo(layout, x))  # compile + warm both
+    np.asarray(hi(layout, x))
+    ts_lo = _times(lo, layout, x, samples)
+    ts_hi = _times(hi, layout, x, samples)
     # Grow the gap until the measured difference is well above jitter.
-    if (t_hi - t_lo) < 0.1 and _depth < 4:
+    if (min(ts_hi) - min(ts_lo)) < 0.1 and _depth < 4:
         return bench_spmv(
             spmv, layout, x,
             reps_lo=reps_lo,
@@ -106,14 +110,17 @@ def bench_spmv(
             nnz=nnz,
             _depth=_depth + 1,
         )
-    slope = max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
-    # Spread estimate from avg-based slope as a crude max bound.
+    dreps = reps_hi - reps_lo
+    # Per-sample slope spread (the reference's TimeMin/Max/Avg semantics,
+    # spmv-csrk/spmv.cpp:168-191): pair each hi sample with the best lo.
+    base = min(ts_lo)
+    slopes = [max((t - base) / dreps, 1e-9) for t in ts_hi]
     if nnz is None:
         nnz = getattr(layout, "nnz")
     return BenchResult(
-        time_min=slope,
-        time_max=slope,
-        time_avg=slope,
+        time_min=min(slopes),
+        time_max=max(slopes),
+        time_avg=sum(slopes) / len(slopes),
         nnz=nnz,
         iters=(reps_lo, reps_hi, samples),
     )

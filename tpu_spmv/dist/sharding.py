@@ -30,8 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_spmv.formats.csr import CSRMatrix
-from tpu_spmv.formats.sell import LANES, SUBLANES, SellSlabs
-from tpu_spmv.kernels.pallas_sell import spmv_sell
+from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs, SellSlabs
+from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
 
 
 def make_row_mesh(devices=None, axis: str = "rows") -> Mesh:
@@ -41,6 +41,70 @@ def make_row_mesh(devices=None, axis: str = "rows") -> Mesh:
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _slice_shard_blocks(mat: CSRMatrix, n_devices: int, halo: str):
+    """Cut rows into n_devices equal blocks (shared by every sharded
+    layout class). Returns (blocks, halo_rows, rows_per_shard); blocks'
+    columns are pre-shifted into halo-window coordinates when the
+    neighbor exchange applies (see ShardedSell docstring)."""
+    m, n = mat.shape
+    rows_per_shard = _round_up(_round_up(m, n_devices) // n_devices, 8 * LANES)
+
+    halo_rows = 0
+    if halo != "never" and m == n and n_devices > 1:
+        reach = 0
+        for d in range(n_devices):
+            r0 = min(d * rows_per_shard, m)
+            r1 = min((d + 1) * rows_per_shard, m)
+            cs = mat.indices[mat.indptr[r0] : mat.indptr[r1]]
+            if cs.size:
+                reach = max(
+                    reach, int(r0 - cs.min()), int(int(cs.max()) + 1 - r1)
+                )
+        if reach <= rows_per_shard:
+            halo_rows = _round_up(max(reach, LANES), LANES)
+        elif halo == "always":
+            raise ValueError(
+                f"halo exchange requested but columns reach {reach} rows "
+                f"past the shard (> rows_per_shard={rows_per_shard})"
+            )
+
+    blocks = []
+    for d in range(n_devices):
+        r0 = min(d * rows_per_shard, m)
+        r1 = min((d + 1) * rows_per_shard, m)
+        sl_indptr = (
+            mat.indptr[r0 : r1 + 1].astype(np.int64) - int(mat.indptr[r0])
+            if r1 > r0
+            else np.zeros(1, dtype=np.int64)
+        )
+        pad_rows = rows_per_shard - (r1 - r0)
+        if pad_rows:
+            sl_indptr = np.concatenate(
+                [sl_indptr, np.full(pad_rows, sl_indptr[-1], dtype=np.int64)]
+            )
+        cols_d = mat.indices[mat.indptr[r0] : mat.indptr[r1]].astype(np.int64)
+        if halo_rows:
+            cols_d = cols_d - (r0 - halo_rows)
+        shard_n = rows_per_shard + 2 * halo_rows if halo_rows else n
+        blocks.append(
+            CSRMatrix(
+                sl_indptr.astype(np.int32),
+                cols_d.astype(np.int32),
+                mat.data[mat.indptr[r0] : mat.indptr[r1]],
+                (rows_per_shard, shard_n),
+            )
+        )
+    return blocks, halo_rows, rows_per_shard
+
+
+def _padk(a, target, fill):
+    a = np.asarray(a)
+    pad = target - a.shape[0]
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -115,72 +179,17 @@ class ShardedSell:
         all-gather; "always" asserts the banded condition.
         """
         m, n = mat.shape
-        rows_per_shard = _round_up(_round_up(m, n_devices) // n_devices, 8 * LANES)
-
-        # Per-shard column extent -> halo width (in rows beyond the shard).
-        halo_rows = 0
-        if halo != "never" and m == n and n_devices > 1:
-            reach = 0
-            for d in range(n_devices):
-                r0 = min(d * rows_per_shard, m)
-                r1 = min((d + 1) * rows_per_shard, m)
-                cs = mat.indices[mat.indptr[r0] : mat.indptr[r1]]
-                if cs.size:
-                    reach = max(
-                        reach,
-                        int(r0 - cs.min()),
-                        int(int(cs.max()) + 1 - r1),
-                    )
-            if reach <= rows_per_shard:
-                halo_rows = _round_up(max(reach, LANES), LANES)
-            elif halo == "always":
-                raise ValueError(
-                    f"halo exchange requested but columns reach {reach} rows "
-                    f"past the shard (> rows_per_shard={rows_per_shard})"
-                )
-
-        shards = []
-        for d in range(n_devices):
-            r0 = min(d * rows_per_shard, m)
-            r1 = min((d + 1) * rows_per_shard, m)
-            sl_indptr = (
-                mat.indptr[r0 : r1 + 1].astype(np.int64) - int(mat.indptr[r0])
-                if r1 > r0
-                else np.zeros(1, dtype=np.int64)
-            )
-            # Pad the shard's row count so every shard is rows_per_shard.
-            pad_rows = rows_per_shard - (r1 - r0)
-            if pad_rows:
-                sl_indptr = np.concatenate(
-                    [sl_indptr, np.full(pad_rows, sl_indptr[-1], dtype=np.int64)]
-                )
-            cols_d = mat.indices[mat.indptr[r0] : mat.indptr[r1]].astype(np.int64)
-            if halo_rows:
-                # Shift into halo-window coordinates: window =
-                # [r0 - halo, r1 + halo), zero-filled beyond the matrix.
-                cols_d = cols_d - (r0 - halo_rows)
-            shard_n = rows_per_shard + 2 * halo_rows if halo_rows else n
-            block = CSRMatrix(
-                sl_indptr.astype(np.int32),
-                cols_d.astype(np.int32),
-                mat.data[mat.indptr[r0] : mat.indptr[r1]],
-                (rows_per_shard, shard_n),
-            )
-            shards.append(SellSlabs.from_csr(block))
+        blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
+            mat, n_devices, halo
+        )
+        shards = [SellSlabs.from_csr(block) for block in blocks]
 
         # Pad all shards to identical shapes.
         total_k = max(int(s.vals.shape[0]) for s in shards)
         S = max(s.num_subtiles for s in shards)
         num_chunks_local = rows_per_shard // LANES
         max_nb = max(s.max_nb for s in shards)
-
-        def padk(a, target, fill):
-            pad = target - a.shape[0]
-            if pad == 0:
-                return np.asarray(a)
-            return np.concatenate(
-                [np.asarray(a), np.full((pad,) + a.shape[1:], fill, a.dtype)]
-            )
+        padk = _padk
 
         vals = np.stack([padk(s.vals, total_k, 0.0) for s in shards])
         cols = np.stack([padk(s.cols, total_k, 0) for s in shards])
@@ -244,8 +253,184 @@ class ShardedSell:
         return self.rows_per_shard * self.n_devices
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedRanked:
+    """Per-device rank-windowed layouts stacked on a leading mesh dim.
+
+    The distributed flagship: each shard runs the single-chip ranked
+    Pallas kernel (aligned or column-binned windows — 2-3x the plain
+    SELL kernel) after the same halo/all-gather x exchange as
+    ShardedSell. Shard arrays are padded to common shapes; rank_nb is
+    the max over shards (extra gather iterations select nothing on
+    narrower shards).
+    """
+
+    vals: jax.Array  # (D, total_k, 128)
+    lcols: jax.Array  # (D, total_k, 128) window-local columns
+    sub_b0: jax.Array  # (D, S)
+    sub_dlo: jax.Array  # (D, S)
+    sub_dhi: jax.Array  # (D, S)
+    sub_chunk: jax.Array  # (D, S)
+    tile_b0: jax.Array  # (D, T)
+    m: int
+    n: int
+    nnz: int
+    rows_per_shard: int
+    num_chunks_local: int
+    rank_nb: int
+    n_devices: int
+    halo: int = 0
+    chunk_q: int = 0
+    win_w: int = 0
+    tile_k: int = 512
+
+    def tree_flatten(self):
+        children = (
+            self.vals, self.lcols, self.sub_b0, self.sub_dlo, self.sub_dhi,
+            self.sub_chunk, self.tile_b0,
+        )
+        aux = (
+            self.m, self.n, self.nnz, self.rows_per_shard,
+            self.num_chunks_local, self.rank_nb, self.n_devices, self.halo,
+            self.chunk_q, self.win_w, self.tile_k,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def _local_layout_struct(
+        self, vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk, tile_b0
+    ) -> RankedSlabs:
+        local_n = (
+            self.rows_per_shard + 2 * self.halo if self.halo else self.n
+        )
+        return RankedSlabs(
+            vals=vals,
+            lcols=lcols,
+            sub_b0=sub_b0,
+            sub_dlo=sub_dlo,
+            sub_dhi=sub_dhi,
+            sub_chunk=sub_chunk,
+            tile_b0=tile_b0,
+            m=self.rows_per_shard,
+            n=local_n,
+            nnz=self.nnz,  # only used for stats
+            num_chunks=self.num_chunks_local,
+            rank_nb=self.rank_nb,
+            chunk_q=self.chunk_q,
+            win_w=self.win_w,
+            tile_k=self.tile_k,
+        )
+
+    @classmethod
+    def build(
+        cls, mat: CSRMatrix, n_devices: int, halo: str = "auto",
+        bin_blocks: int = 0,
+    ) -> "ShardedRanked":
+        m, n = mat.shape
+        blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
+            mat, n_devices, halo
+        )
+        # allow_groups=False: shards must share one static kernel, and
+        # per-shard group partitions generally differ; the packed-delta
+        # encoding is shard-uniform.
+        shards = [
+            RankedSlabs.from_csr(
+                block, bin_blocks=bin_blocks, allow_groups=False
+            )
+            for block in blocks
+        ]
+
+        total_k = max(int(s.vals.shape[0]) for s in shards)
+        S = max(s.num_subtiles for s in shards)
+        T = max(int(s.tile_b0.shape[0]) for s in shards)
+        num_chunks_local = rows_per_shard // LANES
+        rank_nb = max(s.rank_nb for s in shards)
+        win_w = max(s.win_w for s in shards)
+        tile_k = min(s.tile_k for s in shards)
+        lcol_dtype = (
+            np.int32
+            if any(np.asarray(s.lcols).dtype == np.int32 for s in shards)
+            else np.int16
+        )
+        padk = _padk
+
+        vals = np.stack([padk(s.vals, total_k, 0.0) for s in shards])
+        # Padding lcols of 0 gather the window base (val=0 keeps it inert).
+        lcols = np.stack(
+            [padk(np.asarray(s.lcols).astype(lcol_dtype), total_k, 0)
+             for s in shards]
+        )
+        sub_b0 = np.stack([padk(s.sub_b0, S, 0) for s in shards])
+        sub_dlo = np.stack([padk(s.sub_dlo, S, 0) for s in shards])
+        sub_dhi = np.stack([padk(s.sub_dhi, S, 0) for s in shards])
+        sub_chunk = np.stack(
+            [padk(s.sub_chunk, S, num_chunks_local) for s in shards]
+        )
+        tile_b0 = np.stack([padk(s.tile_b0, T, 0) for s in shards])
+        return cls(
+            vals=jnp.asarray(vals),
+            lcols=jnp.asarray(lcols),
+            sub_b0=jnp.asarray(sub_b0),
+            sub_dlo=jnp.asarray(sub_dlo),
+            sub_dhi=jnp.asarray(sub_dhi),
+            sub_chunk=jnp.asarray(sub_chunk),
+            tile_b0=jnp.asarray(tile_b0),
+            m=m,
+            n=n,
+            nnz=mat.nnz,
+            rows_per_shard=rows_per_shard,
+            num_chunks_local=num_chunks_local,
+            rank_nb=rank_nb,
+            n_devices=n_devices,
+            halo=halo_rows,
+            chunk_q=(
+                shards[0].chunk_q
+                if all(
+                    s.chunk_q == shards[0].chunk_q
+                    and s.num_subtiles == S
+                    and s.num_chunks == num_chunks_local
+                    for s in shards
+                )
+                else 0
+            ),
+            win_w=win_w,
+            tile_k=tile_k,
+        )
+
+    def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedRanked":
+        sh = NamedSharding(mesh, P(axis))
+        children, aux = self.tree_flatten()
+        return ShardedRanked.tree_unflatten(
+            aux, tuple(jax.device_put(a, sh) for a in children)
+        )
+
+    @property
+    def padded_m(self) -> int:
+        return self.rows_per_shard * self.n_devices
+
+
+def _exchange_x(layout, x_shard, axis: str):
+    """Collect each shard's x window: neighbor ppermute halo when the
+    structure allows, tiled all-gather otherwise (see module docstring)."""
+    D = layout.n_devices
+    H = layout.halo
+    if H:
+        from_left = jax.lax.ppermute(
+            x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
+        )
+        from_right = jax.lax.ppermute(
+            x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
+        )
+        return jnp.concatenate([from_left, x_shard, from_right])
+    return jax.lax.all_gather(x_shard, axis, tiled=True)[: layout.n]
+
+
 def spmv_sharded(
-    layout: ShardedSell,
+    layout,
     x: jax.Array,
     mesh: Mesh,
     axis: str = "rows",
@@ -253,6 +438,7 @@ def spmv_sharded(
 ):
     """y = A @ x, rows sharded over `axis`; x arrives row-sharded.
 
+    layout: ShardedSell or ShardedRanked (the flagship).
     x: (padded_m,) float32 sharded P(axis) (square matrices: padded with
     zeros beyond n). Returns y (padded_m,) sharded P(axis).
     interpret: force Pallas interpreter mode; None auto-selects it on the
@@ -260,40 +446,41 @@ def spmv_sharded(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    D = layout.n_devices
-    H = layout.halo
 
-    def local(vals, cols, sub_b0, sub_nb, sub_chunk, x_shard):
-        if H:
-            # Neighbor halo exchange over ICI: each device receives its
-            # left neighbor's tail and right neighbor's head (edge
-            # devices get ppermute's zero fill, matching the window's
-            # zero padding beyond the matrix).
-            from_left = jax.lax.ppermute(
-                x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
+    if isinstance(layout, ShardedRanked):
+
+        def local(vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk,
+                  tile_b0, x_shard):
+            x_in = _exchange_x(layout, x_shard, axis)
+            local_layout = layout._local_layout_struct(
+                vals[0], lcols[0], sub_b0[0], sub_dlo[0], sub_dhi[0],
+                sub_chunk[0], tile_b0[0],
             )
-            from_right = jax.lax.ppermute(
-                x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
-            )
-            x_in = jnp.concatenate([from_left, x_shard, from_right])
-        else:
-            # Full collect over ICI (general structure fallback).
-            x_in = jax.lax.all_gather(x_shard, axis, tiled=True)[: layout.n]
-        local_layout = layout._local_layout_struct(
-            vals[0], cols[0], sub_b0[0], sub_nb[0], sub_chunk[0]
+            return spmv_ranked(local_layout, x_in, interpret=interpret)[None]
+
+        operands = (
+            layout.vals, layout.lcols, layout.sub_b0, layout.sub_dlo,
+            layout.sub_dhi, layout.sub_chunk, layout.tile_b0, x,
         )
-        y_local = spmv_sell(local_layout, x_in, interpret=interpret)
-        return y_local[None]
+    else:
+
+        def local(vals, cols, sub_b0, sub_nb, sub_chunk, x_shard):
+            x_in = _exchange_x(layout, x_shard, axis)
+            local_layout = layout._local_layout_struct(
+                vals[0], cols[0], sub_b0[0], sub_nb[0], sub_chunk[0]
+            )
+            return spmv_sell(local_layout, x_in, interpret=interpret)[None]
+
+        operands = (
+            layout.vals, layout.cols, layout.sub_b0, layout.sub_nb,
+            layout.sub_chunk, x,
+        )
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * len(operands),
         out_specs=P(axis),
         check_vma=False,
     )
-    y = fn(
-        layout.vals, layout.cols, layout.sub_b0, layout.sub_nb,
-        layout.sub_chunk, x,
-    )
-    return y.reshape(-1)
+    return fn(*operands).reshape(-1)

@@ -545,21 +545,37 @@ class RankedSlabs:
     chunk_q: int = 0  # uniform sub-tiles per chunk (0 = ragged)
     win_w: int = 0
     tile_k: int = 512
+    # Grouped windows: sublanes whose windows coincide share ONE base,
+    # stored ABSOLUTE in grp_b0 ((G*S,) int32, group-major) — the kernel
+    # then does G scalar reads + G window loads per sub-tile instead of
+    # 8 loads + a 16-op byte unpack (measured 3.7 cyc/sub-tile, 28% of
+    # the flagship kernel). group_code packs the static sublane->group
+    # map, 4 bits per sublane (0 = grouping disabled).
+    grp_b0: jax.Array = None
+    group_code: int = 0
 
     def tree_flatten(self):
         children = (
             self.vals, self.lcols, self.sub_b0, self.sub_dlo, self.sub_dhi,
-            self.sub_chunk, self.tile_b0,
+            self.sub_chunk, self.tile_b0, self.grp_b0,
         )
         aux = (
             self.m, self.n, self.nnz, self.num_chunks, self.rank_nb,
-            self.chunk_q, self.win_w, self.tile_k,
+            self.chunk_q, self.win_w, self.tile_k, self.group_code,
         )
         return children, aux
 
+    @property
+    def groups(self) -> tuple:
+        """Static sublane->group map decoded from group_code."""
+        return tuple((self.group_code >> (4 * r)) & 15 for r in range(SUBLANES))
+
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        # grp_b0 is the last CHILD but a defaulted (hence trailing)
+        # dataclass field; map explicitly rather than positionally.
+        return cls(*children[:7], *aux[:8], grp_b0=children[7],
+                   group_code=aux[8])
 
     @property
     def num_subtiles(self) -> int:
@@ -585,10 +601,14 @@ class RankedSlabs:
             + self.num_subtiles * LANES * 4
         )
 
+    # SMEM budget for the grouped-window base table (G*S int32 words);
+    # beyond this the packed-delta encoding is used instead.
+    _GRP_SMEM_BYTES = 512 * 1024
+
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True,
-        bin_blocks: int = 0,
+        bin_blocks: int = 0, allow_groups: bool = True,
     ) -> "RankedSlabs":
         base = SellSlabs.from_csr(
             mat, tile_k=tile_k, align=align, bin_blocks=bin_blocks
@@ -614,6 +634,58 @@ class RankedSlabs:
         tile_min = sub_base.min(axis=1)
         tile_min[tile_min == np.iinfo(np.int32).max] = 0
         sub_base = np.where(empty, tile_min[:, None], sub_base)
+
+        # Grouped windows: greedily merge sublanes whose windows always
+        # coincide (a stencil's middle ranks share one cluster), storing
+        # one ABSOLUTE base per group. The kernel then issues G scalar
+        # reads + G window loads per sub-tile instead of 8 loads plus a
+        # 16-op byte unpack — measured 3.7 cyc/sub-tile on the flagship
+        # (ablation, docs/PERF_NOTES.md r2). Merges keep every group's
+        # read extent within the original pair-step count, so the gather
+        # loop shape is unchanged.
+        group_code = 0
+        grp_b0 = np.zeros(0, np.int32)
+        if allow_groups and S:
+            hi_units = np.where(real, units, -1).reshape(
+                S, SUBLANES, LANES
+            ).max(axis=2)
+            hi_units = np.where(hi_units < 0, sub_base, hi_units)
+            rank_nb0 = int((hi_units - sub_base).max()) + 1
+            # Merges may not widen the read extent: paired loads round
+            # the budget to 2 blocks, except rank-1 layouts (binned W=1)
+            # whose single-row-load fast path must survive, so only
+            # exactly-coincident windows merge there.
+            target = 1 if rank_nb0 == 1 else 2 * max((rank_nb0 + 1) // 2, 1)
+            med = np.median(
+                sub_base - sub_base.min(axis=1, keepdims=True), axis=0
+            )
+            order = np.argsort(med, kind="stable")
+            members = [[int(order[0])]]
+            glo = sub_base[:, order[0]].copy()
+            ghi = hi_units[:, order[0]].copy()
+            for r in order[1:]:
+                nlo = np.minimum(glo, sub_base[:, r])
+                nhi = np.maximum(ghi, hi_units[:, r])
+                if int((nhi - nlo).max()) < target:
+                    members[-1].append(int(r))
+                    glo, ghi = nlo, nhi
+                else:
+                    members.append([int(r)])
+                    glo = sub_base[:, r].copy()
+                    ghi = hi_units[:, r].copy()
+            G = len(members)
+            if G * S * 4 <= cls._GRP_SMEM_BYTES:
+                gb = np.empty_like(sub_base)
+                gmat = np.empty((G, S), np.int64)
+                group_code = G << 32
+                for gi, mem in enumerate(members):
+                    gmin = sub_base[:, mem].min(axis=1)
+                    gmat[gi] = gmin
+                    for r in mem:
+                        gb[:, r] = gmin
+                        group_code |= gi << (4 * r)
+                sub_base = gb  # all downstream metadata is group-relative
+                grp_b0 = gmat.reshape(-1).astype(np.int32)
 
         # Local columns; padding slots point at the sublane window's first
         # entry (val=0 keeps them inert).
@@ -673,4 +745,6 @@ class RankedSlabs:
             chunk_q=base.chunk_q,
             win_w=win_w,
             tile_k=min(tile_k, total_k),
+            grp_b0=jnp.asarray(grp_b0),
+            group_code=group_code,
         )

@@ -230,6 +230,67 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
     return kernel
 
 
+def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple, S: int):
+    """Grouped-window rank kernel: sublanes sharing a window (static map
+    `groups`) read ONE absolute base from SMEM and issue ONE (2,128)
+    load per pair-step — G loads + G scalar reads per sub-tile instead
+    of 8 loads plus the 16-op packed-delta unpack (measured 3.7 cyc/
+    sub-tile on the flagship; see RankedSlabs.from_csr grouping)."""
+    subs_per_tile = tile_k // SUBLANES
+    G = max(groups) + 1
+    npairs = max((rank_nb + 1) // 2, 1)
+
+    def kernel(grp_b0, vals_ref, lcols_ref, x_ref, part_ref):
+        t = pl.program_id(0)
+        for s in range(subs_per_tile):
+            g = t * subs_per_tile + s
+            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+                jnp.int32
+            )
+            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            bases = [grp_b0[gi * S + g] for gi in range(G)]
+            if rank_nb == 1:
+                wins = [x_ref[pl.ds(bases[gi], 1), :] for gi in range(G)]
+                xw = jnp.concatenate(
+                    [wins[groups[r]] for r in range(SUBLANES)], axis=0
+                )
+                acc = jnp.take_along_axis(
+                    xw, idx, axis=1, mode="promise_in_bounds"
+                )
+            else:
+                sel = jax.lax.shift_right_logical(lcols, 7)
+                acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                for p in range(npairs):
+                    wins = [
+                        x_ref[pl.ds(bases[gi] + 2 * p, 2), :]
+                        for gi in range(G)
+                    ]
+                    xw0 = jnp.concatenate(
+                        [wins[groups[r]][0:1] for r in range(SUBLANES)], axis=0
+                    )
+                    xw1 = jnp.concatenate(
+                        [wins[groups[r]][1:2] for r in range(SUBLANES)], axis=0
+                    )
+                    g0 = jnp.take_along_axis(
+                        xw0, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    g1 = jnp.take_along_axis(
+                        xw1, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    if rank_nb == 2:
+                        acc = jnp.where(sel == 0, g0, g1)
+                    else:
+                        acc = (
+                            acc
+                            + jnp.where(sel == 2 * p, g0, 0.0)
+                            + jnp.where(sel == 2 * p + 1, g1, 0.0)
+                        )
+            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def spmv_ranked(
     layout: RankedSlabs, x: jax.Array, interpret: bool = False
@@ -249,8 +310,19 @@ def spmv_ranked(
         x2d.reshape(-1), x.astype(jnp.float32), (0,)
     ).reshape(n_pad // LANES, LANES)
 
+    if layout.group_code:
+        kernel = _make_grouped_kernel(
+            tile_k, layout.rank_nb, layout.groups, layout.num_subtiles
+        )
+        nscalar = 1
+        scalars = (layout.grp_b0,)
+    else:
+        kernel = _make_ranked_kernel(tile_k, layout.rank_nb)
+        nscalar = 3
+        scalars = (layout.sub_b0, layout.sub_dlo, layout.sub_dhi)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=nscalar,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -268,7 +340,7 @@ def spmv_ranked(
     )
 
     partials = pl.pallas_call(
-        _make_ranked_kernel(tile_k, layout.rank_nb),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
         interpret=interpret,
@@ -277,7 +349,7 @@ def spmv_ranked(
             bytes_accessed=layout.hbm_bytes,
             transcendentals=0,
         ),
-    )(layout.sub_b0, layout.sub_dlo, layout.sub_dhi, layout.vals, layout.lcols, x2d)
+    )(*scalars, layout.vals, layout.lcols, x2d)
 
     return _reduce_partials(partials, layout)
 

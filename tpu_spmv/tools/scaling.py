@@ -62,15 +62,131 @@ def report(mat, n_devices: int) -> dict:
     }
 
 
+# Model constants for the efficiency projection (documented estimates
+# for TPU v5e): sustained single-chip SpMV rate measured by bench.py,
+# and a conservative per-link ICI neighbor-exchange bandwidth.
+SINGLE_CHIP_NNZS = 48e9
+ICI_BYTES_PER_S = 45e9
+
+
+def weak_scaling(
+    d_list,
+    base_rows: int = 4096,
+    band: int = 64,
+    nnz_per_row: int = 8,
+    execute: bool = True,
+) -> list:
+    """Weak-scaling harness: problem size grows with the device count
+    (m = D * base_rows), the per-device work stays constant, and the
+    halo traffic per device must stay O(band) — NOT O(n). Executes the
+    sharded rank-windowed SpMV on however many devices are available
+    (virtual CPU mesh in tests; real chips when present) and validates
+    against the serial oracle; emits the per-D efficiency table the
+    >=70% weak-scaling target is judged on (BASELINE.md).
+
+    Returns a list of row dicts (also the CSV schema).
+    """
+    import jax
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.dist.sharding import ShardedRanked, make_row_mesh, spmv_sharded
+    from tpu_spmv.reorder import rcm as rcm_fn
+
+    rows = []
+    for d in d_list:
+        mat = random_banded(base_rows * d, band, nnz_per_row, seed=0)
+        mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
+        lay = ShardedRanked.build(mat, d)
+        halo_bytes = 2 * lay.halo * 4
+        exchange_bytes = halo_bytes if lay.halo else int(
+            mat.n * (d - 1) / max(d, 1) * 4
+        )
+        local_nnz = mat.nnz / d
+        t_comp = local_nnz / SINGLE_CHIP_NNZS
+        t_comm = exchange_bytes / ICI_BYTES_PER_S if d > 1 else 0.0
+        row = {
+            "devices": d,
+            "rows": mat.m,
+            "nnz": mat.nnz,
+            "halo_rows": lay.halo,
+            "ici_bytes_per_dev": exchange_bytes,
+            "model_efficiency": t_comp / (t_comp + t_comm),
+            "executed": False,
+            "num_wrong": "",
+            "rel_l2": "",
+        }
+        if execute and len(jax.devices()) >= d:
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = make_row_mesh(jax.devices()[:d])
+            lp = lay.device_put(mesh)
+            x = np.random.default_rng(1).standard_normal(mat.n).astype(
+                np.float32
+            )
+            xp = np.zeros(lp.padded_m, np.float32)
+            xp[: mat.n] = x
+            xj = jax.device_put(
+                jnp.asarray(xp), NamedSharding(mesh, P("rows"))
+            )
+            y = np.asarray(spmv_sharded(lp, xj, mesh))[: mat.m]
+            y_ref = mat.matvec(x)
+            wrong = int(np.sum(np.abs(y - y_ref) > 0.01))
+            rel = float(
+                np.linalg.norm(y - y_ref) / max(np.linalg.norm(y_ref), 1e-30)
+            )
+            row.update(executed=True, num_wrong=wrong, rel_l2=f"{rel:.3g}")
+        rows.append(row)
+    return rows
+
+
 def main(argv=None):
     from tpu_spmv.tools.spmv import load_input
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input")
+    ap.add_argument("input", nargs="?", default=None,
+                    help="matrix file / synthetic:<name> (traffic report "
+                    "mode); omit with --weak")
     ap.add_argument("--devices", type=int, nargs="*", default=[2, 4, 8, 16])
     ap.add_argument("--rcm", action="store_true",
                     help="apply RCM first (halo width depends on it)")
+    ap.add_argument("--weak", action="store_true",
+                    help="run the executable weak-scaling harness "
+                    "(m = D * base-rows per step) instead of the static "
+                    "traffic report")
+    ap.add_argument("--base-rows", type=int, default=4096)
+    ap.add_argument("--band", type=int, default=64)
+    ap.add_argument("--out", default=None, help="CSV output (weak mode)")
     args = ap.parse_args(argv)
+
+    if args.weak:
+        import csv as csvmod
+
+        rows = weak_scaling(
+            args.devices, base_rows=args.base_rows, band=args.band
+        )
+        for r in rows:
+            print(
+                f"D={r['devices']}: rows={r['rows']} "
+                f"halo={r['halo_rows']} rows, "
+                f"{r['ici_bytes_per_dev']} B/dev over ICI, "
+                f"model efficiency {100 * r['model_efficiency']:.1f}%"
+                + (
+                    f" | executed wrong={r['num_wrong']} rel={r['rel_l2']}"
+                    if r["executed"] else " | not executed (devices)"
+                )
+            )
+        if args.out:
+            with open(args.out, "w", newline="") as f:
+                w = csvmod.DictWriter(f, fieldnames=list(rows[0]))
+                w.writeheader()
+                w.writerows(rows)
+        worst = min(
+            (r["model_efficiency"] for r in rows if r["devices"] > 1),
+            default=1.0,
+        )
+        print(f"worst model efficiency: {100 * worst:.1f}% (target >= 70%)")
+        return 0 if worst >= 0.70 else 1
 
     mat = load_input(args.input)
     if args.rcm:

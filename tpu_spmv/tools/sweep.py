@@ -6,9 +6,14 @@ super-row sizes, benchmark each configuration, and append CSV rows.
 The CSV is opened in append mode so interrupted sweeps resume
 (run_epyc.py:31,74's "a+" convention).
 
+Matrices are named from the synthetic suite OR given as file paths /
+globs (.mtx/.mtx.gz/.csr/.csr2/.csr3) — the reference runners iterate
+directories of converted SuiteSparse files (run_epyc.py:85-100), so the
+sweep accepts the same file-based inputs end to end.
+
 Usage:
   python -m tpu_spmv.tools.sweep --out results.csv \
-      --matrices lap2d_256 banded_100k --kernels sell segsum \
+      --matrices lap2d_256 'data/rcm/*.csr' --kernels ranked segsum \
       --srs 8 16 32 64
 """
 
@@ -25,8 +30,29 @@ import numpy as np
 CSV_FIELDS = [
     "matrix", "kernel", "k", "srs", "rows", "nnz",
     "time_min", "time_max", "time_avg", "gflops", "gnnzs",
-    "num_wrong", "rel_l2", "pad_ratio", "max_nb",
+    "num_wrong", "rel_l2", "pad_ratio", "max_nb", "bin_blocks",
 ]
+
+
+def _resolve_matrices(entries, suite: dict):
+    """Yield (name, loader) pairs from suite names, file paths, globs."""
+    import glob as globmod
+
+    from tpu_spmv.tools.stats import load
+
+    for entry in entries:
+        if entry in suite:
+            yield entry, (lambda e=entry: suite[e])
+            continue
+        paths = sorted(globmod.glob(entry)) or [entry]
+        for p in paths:
+            pp = pathlib.Path(p)
+            if not pp.exists():
+                raise SystemExit(
+                    f"matrix {entry!r}: not a suite name "
+                    f"({', '.join(sorted(suite))}) and no such file"
+                )
+            yield pp.name, (lambda q=p: load(q))
 
 
 def _done_keys(path: pathlib.Path) -> set:
@@ -65,7 +91,7 @@ def main(argv=None):
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
 
     suite = M.suite(args.scale)
-    names = args.matrices or list(suite)
+    entries = args.matrices or list(suite)
     out = pathlib.Path(args.out)
     done = _done_keys(out)
     new_file = not out.exists()
@@ -73,8 +99,8 @@ def main(argv=None):
         writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
         if new_file:
             writer.writeheader()
-        for name in names:
-            mat = suite[name]
+        for name, loader in _resolve_matrices(entries, suite):
+            mat = loader()
             if args.rcm:
                 from tpu_spmv.reorder import rcm as rcm_fn
 
@@ -91,15 +117,21 @@ def main(argv=None):
                             sup_row_sizes=(srs,) * max(args.k - 1, 0),
                         )
                         xj = jnp.asarray(ck.set_x(x))
-                        if kernel == "sell":
+                        kern, bb = kernel, 0
+                        if kern == "auto":
+                            from tpu_spmv.tune.model import tpu_plan
+
+                            plan = tpu_plan(ck.matrix, assume_rcm=args.rcm)
+                            kern, bb = plan.kernel, plan.bin_blocks
+                        if kern == "sell":
                             lay = SellSlabs.from_csr(ck.matrix)
                             fn = spmv_sell
                             pad, nb = lay.padding_ratio, lay.max_nb
-                        elif kernel == "ranked":
-                            lay = RankedSlabs.from_csr(ck.matrix)
+                        elif kern == "ranked":
+                            lay = RankedSlabs.from_csr(ck.matrix, bin_blocks=bb)
                             fn = spmv_ranked
                             pad, nb = lay.padding_ratio, lay.rank_nb
-                        elif kernel == "bcoo":
+                        elif kern == "bcoo":
                             lay = BCOOLayout.from_csr(ck.matrix)
                             fn = spmv_bcoo
                             pad, nb = 1.0, 0
@@ -120,6 +152,7 @@ def main(argv=None):
                             "gnnzs": f"{r.gnnzs:.4g}",
                             "num_wrong": wrong, "rel_l2": f"{rel:.3g}",
                             "pad_ratio": f"{pad:.3f}", "max_nb": nb,
+                            "bin_blocks": bb,
                         }
                     except Exception:
                         traceback.print_exc()
