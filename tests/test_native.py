@@ -128,3 +128,22 @@ def test_level_schedule_parity():
     has_dep = np.zeros(mat.m, dtype=bool)
     has_dep[rows[strict]] = True
     assert (lev[~has_dep] == 0).all()
+
+
+def test_aligned_slots_parity(monkeypatch):
+    """Native aligned-slots must match the NumPy implementation exactly
+    (it is the layout-build hot loop; VERDICT r1 #6)."""
+    import tpu_spmv.formats.sell as sellmod
+    from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+    from tpu_spmv.reorder import native
+
+    if not native.available():
+        pytest.skip(f"native core unavailable: {native.load_error()}")
+    for mat in (laplacian_2d(48), random_banded(3000, 80, 9, seed=2),
+                random_general(1500, 6, seed=3)):
+        slots_c, kc_c = native.aligned_slots(mat.indptr, mat.indices)
+        with monkeypatch.context() as mp:
+            mp.setattr(native, "available", lambda: False)
+            slots_py, kc_py = sellmod._aligned_slots(mat)
+        np.testing.assert_array_equal(kc_c, kc_py)
+        np.testing.assert_array_equal(slots_c, slots_py)

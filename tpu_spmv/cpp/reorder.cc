@@ -238,6 +238,112 @@ int tpu_spmv_sell_targets(int64_t m, int64_t nnz, const int64_t* indptr,
   return 0;
 }
 
+// Cluster-aligned slot assignment per 128-row chunk — the layout-build
+// hot loop (semantics-identical to formats/sell._aligned_slots, which
+// tests assert exact equality against; the per-chunk Python loop took
+// ~38s at 4.2M rows). Per chunk: stable-sort entries by diagonal offset
+// (col - row), split clusters at gaps > `gap`, subdivide into 64-column
+// bins, size each cluster by its max per-row entry count, and place
+// entries at cluster_base + within-row ordinal. Chunks whose cluster
+// widths exceed max(cap_factor*maxlen, maxlen+8) fall back to ordinal
+// slots. slots_out: (nnz) int64 preloaded by the caller with ordinal
+// ranks; kc_out: (num_chunks) int64.
+int tpu_spmv_aligned_slots(int64_t m, const int64_t* indptr,
+                           const int32_t* indices, int64_t gap,
+                           double cap_factor, int64_t lanes,
+                           int64_t* slots_out, int64_t* kc_out) {
+  int64_t num_chunks = (m + lanes - 1) / lanes;
+  if (num_chunks < 1) num_chunks = 1;
+  std::vector<int64_t> order, ds, cluster, cmin, width, base;
+  for (int64_t c = 0; c < num_chunks; ++c) {
+    int64_t r0 = c * lanes;
+    int64_t r1 = std::min(r0 + lanes, m);
+    int64_t e0 = indptr[r0], e1 = indptr[r1];
+    if (e0 == e1) {
+      kc_out[c] = 1;
+      continue;
+    }
+    int64_t cnt = e1 - e0;
+    int64_t maxlen = 0;
+    for (int64_t r = r0; r < r1; ++r)
+      maxlen = std::max(maxlen, indptr[r + 1] - indptr[r]);
+
+    // d[j] = col - row in entry order; stable sort by d.
+    ds.assign(cnt, 0);
+    {
+      int64_t r = r0;
+      for (int64_t j = 0; j < cnt; ++j) {
+        while (indptr[r + 1] <= e0 + j) ++r;
+        ds[j] = static_cast<int64_t>(indices[e0 + j]) - r;
+      }
+    }
+    order.resize(cnt);
+    for (int64_t j = 0; j < cnt; ++j) order[j] = j;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return ds[a] < ds[b]; });
+
+    // Coarse clusters at gaps > gap, then 64-column bins inside them.
+    cluster.assign(cnt, 0);
+    int64_t ncl = 0;
+    int64_t coarse_min = 0, prev_d = 0, prev_bin = 0;
+    for (int64_t i = 0; i < cnt; ++i) {
+      int64_t d = ds[order[i]];
+      bool newc;
+      if (i == 0) {
+        newc = true;
+        coarse_min = d;
+      } else if (d - prev_d > gap) {
+        newc = true;
+        coarse_min = d;
+      } else {
+        int64_t bin = (d - coarse_min) >> 6;
+        newc = bin != prev_bin;
+      }
+      if (newc) ++ncl;
+      prev_bin = (d - coarse_min) >> 6;
+      prev_d = d;
+      cluster[order[i]] = ncl - 1;
+    }
+
+    // Per-row per-cluster ordinal (entry order: same-cluster entries of
+    // one row are consecutive since columns ascend within a row) and
+    // cluster widths.
+    width.assign(ncl, 0);
+    int64_t total = 0;
+    {
+      int64_t r = r0, prev_key = -1, within = 0;
+      for (int64_t j = 0; j < cnt; ++j) {
+        while (indptr[r + 1] <= e0 + j) ++r;
+        int64_t key = (r - r0) * ncl + cluster[j];
+        within = (key == prev_key) ? within + 1 : 0;
+        prev_key = key;
+        if (within + 1 > width[cluster[j]]) width[cluster[j]] = within + 1;
+      }
+      for (int64_t k = 0; k < ncl; ++k) total += width[k];
+    }
+    double cap = cap_factor * static_cast<double>(maxlen);
+    if (static_cast<double>(total) >
+        std::max(cap, static_cast<double>(maxlen + 8))) {
+      kc_out[c] = maxlen;  // ordinal fallback (slots_out preloaded)
+      continue;
+    }
+    base.assign(ncl, 0);
+    for (int64_t k = 1; k < ncl; ++k) base[k] = base[k - 1] + width[k - 1];
+    {
+      int64_t r = r0, prev_key = -1, within = 0;
+      for (int64_t j = 0; j < cnt; ++j) {
+        while (indptr[r + 1] <= e0 + j) ++r;
+        int64_t key = (r - r0) * ncl + cluster[j];
+        within = (key == prev_key) ? within + 1 : 0;
+        prev_key = key;
+        slots_out[e0 + j] = base[cluster[j]] + within;
+      }
+    }
+    kc_out[c] = total;
+  }
+  return 0;
+}
+
 // First-fit greedy coloring in vertex order (the algorithm behind the
 // reference's BGL_ordering / boost::sequential_vertex_coloring,
 // spmv-csrk/csrk.cpp:2946-3009). color_out: (n) int64.

@@ -111,6 +111,17 @@ def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
     Returns (slots, kc): per-nonzero slot index and per-chunk slab
     height (unquantized).
     """
+    from tpu_spmv.reorder import native
+
+    if native.available():
+        # The C++ core implements exactly these semantics (exact-parity
+        # tested); the per-chunk Python loop below took ~38s at 4.2M
+        # rows vs ~1s native.
+        return native.aligned_slots(
+            mat.indptr, mat.indices, gap=gap, cap_factor=cap_factor,
+            lanes=LANES,
+        )
+
     m = mat.m
     num_chunks = max(_round_up(m, LANES) // LANES, 1)
     indptr = mat.indptr.astype(np.int64)
@@ -273,8 +284,18 @@ def _binned_slots(mat: CSRMatrix, bin_blocks: int):
     slot_bin = np.repeat(gbin, width)  # concatenated per-chunk slot->bin
     limit_bins = max((255 - (bin_blocks - 1)) // bin_blocks, 0)
 
+    # Prefilter: only chunks whose TOTAL bin span exceeds the limit can
+    # violate (this must include single-sub-tile chunks — a sparse row
+    # set with scattered columns packs distant bins into one 8-slot
+    # group, the exact STS scattered-dependency shape).
+    chunk_lo = np.full(num_chunks, np.iinfo(np.int64).max)
+    chunk_hi = np.full(num_chunks, -1)
+    np.minimum.at(chunk_lo, gchunk, gbin)
+    np.maximum.at(chunk_hi, gchunk, gbin)
+    suspects = np.flatnonzero(chunk_hi - chunk_lo > limit_bins)
+
     bad = np.zeros(num_chunks, dtype=bool)
-    for c in np.flatnonzero(kc > 8):
+    for c in suspects:
         sb = slot_bin[kc_off[c] : kc_off[c + 1]]
         k8 = (sb.shape[0] // 8) * 8
         if k8:
@@ -449,18 +470,27 @@ class SellSlabs:
 
         # Scatter nonzeros: the j-th nonzero of row r lands at
         # (koff[chunk(r)] + slot(j), lane(r)); slot = ordinal rank, or the
-        # cluster-aligned slot when align=True.
-        dest_k = koff[rows // LANES] + ranks
-        dest_l = rows % LANES
+        # cluster-aligned/binned slot.
+        from tpu_spmv.reorder import native
+
+        if not align and not bin_blocks and native.available():
+            dest_k, dest_l = native.sell_targets(mat.indptr, koff, LANES)
+        else:
+            dest_k = koff[rows // LANES] + ranks
+            dest_l = rows % LANES
         vals[dest_k, dest_l] = mat.data
         cols[dest_k, dest_l] = mat.indices
 
-        # Per-sub-tile x block range [b0, b0+nb), padding excluded.
+        # Per-sub-tile x block range [b0, b0+nb), padding (-1) excluded.
+        # (Plain np.where, not np.ma: masked arrays cost ~3s of copies at
+        # 4M rows.)
         num_subtiles = total_k // SUBLANES
         ucols = cols.reshape(num_subtiles, SUBLANES * LANES)
-        masked = np.ma.masked_equal(ucols, -1)
-        sub_b0 = masked.min(axis=1).filled(0) // LANES
-        sub_bmax = masked.max(axis=1).filled(0) // LANES
+        valid = ucols >= 0
+        sub_min = np.where(valid, ucols, np.iinfo(np.int64).max).min(axis=1)
+        sub_min[~valid.any(axis=1)] = 0
+        sub_b0 = sub_min // LANES
+        sub_bmax = np.maximum(ucols.max(axis=1), 0) // LANES
         sub_nb = np.maximum(sub_bmax - sub_b0 + 1, 1)
 
         # Padding slots reuse the sub-tile's first block so the gather loop
@@ -651,6 +681,14 @@ class RankedSlabs:
             ).max(axis=2)
             hi_units = np.where(hi_units < 0, sub_base, hi_units)
             rank_nb0 = int((hi_units - sub_base).max()) + 1
+            # Mosaic compile time explodes on grouped kernels with more
+            # than one pair-step (measured: W=4/W=8 binned grouped never
+            # finished a remote compile; rank<=2 grouped compiles in
+            # seconds), so grouping only applies to 1-2-block windows —
+            # which is where its win was measured anyway.
+            if rank_nb0 > 2:
+                allow_groups = False
+        if allow_groups and S:
             # Merges may not widen the read extent: paired loads round
             # the budget to 2 blocks, except rank-1 layouts (binned W=1)
             # whose single-row-load fast path must survive, so only

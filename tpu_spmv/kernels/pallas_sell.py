@@ -42,6 +42,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Per-core VMEM on TPU v5e; the resident kernels keep x fully in VMEM.
+VMEM_BYTES = 128 * 2**20
+
+
+def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
+    """True when the resident kernels' VMEM working set (padded x + the
+    double-buffered slab/partial tiles) fits `budget_frac` of VMEM.
+
+    This replaces round 1's hardcoded 3M-row literal: measured at 4.19M
+    rows (x = 16.8 MB) the resident kernel runs fine and 1.5x faster
+    than the HBM-windowed variant, so the real bound is the VMEM budget.
+    The half-budget default leaves room for Mosaic scratch and fusion.
+    """
+    reads_nb = 2 * max((getattr(layout, "rank_nb", 1) + 1) // 2, 1)
+    n_pad = _round_up(max(layout.n, LANES), LANES) + max(
+        reads_nb, getattr(layout, "max_nb", 1)
+    ) * LANES
+    lcol_bytes = getattr(layout, "lcols", layout.vals).dtype.itemsize
+    tile_k = getattr(layout, "tile_k", 512) or 512
+    tiles = 2 * tile_k * LANES * (4 + lcol_bytes)
+    partials = 2 * (tile_k // SUBLANES) * LANES * 4
+    return 4 * n_pad + tiles + partials <= budget_frac * VMEM_BYTES
+
+
 def _reduce_partials(partials, layout):
     """Chunk totals from per-sub-tile partials.
 
@@ -467,7 +491,7 @@ def spmv_ranked_windowed(
             pl.BlockSpec(
                 (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x, HBM-resident
+            pl.BlockSpec(memory_space=pl.ANY),  # x, HBM-resident
         ],
         out_specs=pl.BlockSpec(
             (tile_k // SUBLANES, LANES), lambda t, *_: (t, 0),

