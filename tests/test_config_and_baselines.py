@@ -108,3 +108,23 @@ def test_tpu_plan_kernel_choice():
     assert plan.kernel == "ranked" and plan.bin_blocks > 0, (
         plan.kernel, plan.bin_blocks, plan.reason
     )
+
+
+def test_tpu_plan_sigma_recommendation():
+    """Skewed row lengths (power-law-ish) -> planner recommends the
+    SELL-C-sigma row sort; uniform stencils -> no recommendation."""
+    import numpy as np
+
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    assert tpu_plan(laplacian_2d(64), assume_rcm=True).sigma == 0
+
+    rng = np.random.default_rng(0)
+    m = 20_000
+    lens = np.minimum((rng.pareto(1.2, m) * 3 + 1).astype(np.int64), 400)
+    rows = np.repeat(np.arange(m), lens)
+    cols = np.minimum(rows + rng.integers(0, 200, rows.shape[0]), m - 1)
+    vals = np.ones(rows.shape[0], np.float32)
+    skewed = CSRMatrix.from_coo(rows, cols, vals, (m, m))
+    plan = tpu_plan(skewed, assume_rcm=True)
+    assert plan.sigma > 0, (plan.sigma, plan.reason)

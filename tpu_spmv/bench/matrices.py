@@ -113,6 +113,32 @@ def random_general(m: int, avg_nnz_per_row: float, seed: int = 0) -> CSRMatrix:
     return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
 
 
+def power_law(m: int, avg_nnz_per_row: float = 8, alpha: float = 1.3,
+              max_len: int = 2048, seed: int = 0) -> CSRMatrix:
+    """Power-law degree distribution with mild locality (roadNet/lp1/
+    delaunay class): most rows short, a heavy tail of long rows. The
+    skewed lengths stress SELL padding (the sigma row sort's target) the
+    way short-row SuiteSparse matrices stressed the reference's AVX-512
+    lt4/gt4 dispatch (spmv-intrin.c:119-223)."""
+    rng = np.random.default_rng(seed)
+    lens = np.minimum(
+        (rng.pareto(alpha, m) * avg_nnz_per_row * (alpha - 1) / alpha + 1)
+        .astype(np.int64),
+        max_len,
+    )
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    # Mild locality: half the entries near the diagonal, half uniform.
+    near = rng.integers(-2000, 2001, rows.shape[0])
+    far = rng.integers(0, m, rows.shape[0])
+    use_near = rng.random(rows.shape[0]) < 0.5
+    cols = np.where(use_near, np.clip(rows + near, 0, m - 1), far)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    all_rows = np.concatenate([rows, np.arange(m, dtype=np.int64)])
+    all_cols = np.concatenate([cols, np.arange(m, dtype=np.int64)])
+    all_vals = np.concatenate([vals, np.ones(m, dtype=np.float32)])
+    return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
+
+
 def suite(scale: str = "small") -> dict:
     """Named matrix families mirroring the reference's benchmark set roles."""
     if scale == "tiny":
@@ -127,6 +153,7 @@ def suite(scale: str = "small") -> dict:
             "lap3d_32": laplacian_3d(32),
             "banded_100k": random_banded(100_000, 500, 16, seed=1),
             "general_50k": random_general(50_000, 8, seed=2),
+            "powerlaw_100k": power_law(100_000, 8, seed=3),
         }
     if scale == "bench":
         # Sized like the reference's mid/large SuiteSparse set
@@ -136,5 +163,6 @@ def suite(scale: str = "small") -> dict:
             "lap3d_101": laplacian_3d(101),              # 1.03M rows, 7.2M nnz
             "banded_1m": random_banded(1_000_000, 1000, 16, seed=1),
             "general_500k": random_general(500_000, 10, seed=2),
+            "powerlaw_1m": power_law(1_000_000, 8, seed=3),
         }
     raise ValueError(f"unknown scale {scale!r}")

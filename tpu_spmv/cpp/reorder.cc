@@ -344,6 +344,46 @@ int tpu_spmv_aligned_slots(int64_t m, const int64_t* indptr,
   return 0;
 }
 
+// One round of maximal matching over a weighted graph, visiting vertices
+// in the caller-supplied order (the Python layer passes its RNG
+// permutation so results are bit-identical to the NumPy implementation;
+// reference: randomMatching/heavyEdgeMatching/lightEdgeMatching,
+// spmv-csrk/csrk.cpp:3181-3648). mode: 0 = first free neighbor,
+// 1 = max edge weight (first on ties), 2 = min edge weight.
+// match_out[v] = partner, or v for unmatched singletons.
+int tpu_spmv_maximal_matching(int64_t n, const int64_t* indptr,
+                              const int64_t* indices, const int64_t* weights,
+                              const int64_t* visit, int mode,
+                              int64_t* match_out) {
+  for (int64_t v = 0; v < n; ++v) match_out[v] = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v = visit[i];
+    if (match_out[v] >= 0) continue;
+    int64_t best = -1;
+    int64_t best_w = 0;
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+      int64_t u = indices[e];
+      if (u == v || match_out[u] >= 0) continue;
+      int64_t w = weights[e];
+      if (best < 0) {
+        best = u;
+        best_w = w;
+        if (mode == 0) break;
+      } else if ((mode == 1 && w > best_w) || (mode == 2 && w < best_w)) {
+        best = u;
+        best_w = w;
+      }
+    }
+    if (best < 0) {
+      match_out[v] = v;
+    } else {
+      match_out[v] = best;
+      match_out[best] = v;
+    }
+  }
+  return 0;
+}
+
 // First-fit greedy coloring in vertex order (the algorithm behind the
 // reference's BGL_ordering / boost::sequential_vertex_coloring,
 // spmv-csrk/csrk.cpp:2946-3009). color_out: (n) int64.

@@ -49,6 +49,10 @@ def _load():
             ctypes.c_int64, I64, I32, F32, I64, I64, I32, F32,
         ]
         lib.tpu_spmv_permute_symmetric.restype = ctypes.c_int
+        lib.tpu_spmv_maximal_matching.argtypes = [
+            ctypes.c_int64, I64, I64, I64, I64, ctypes.c_int, I64,
+        ]
+        lib.tpu_spmv_maximal_matching.restype = ctypes.c_int
         lib.tpu_spmv_aligned_slots.argtypes = [
             ctypes.c_int64, I64, I32, ctypes.c_int64, ctypes.c_double,
             ctypes.c_int64, I64, I64,
@@ -245,3 +249,30 @@ def aligned_slots(indptr, indices, gap: int = 128, cap_factor: float = 2.0,
     if rc != 0:
         raise RuntimeError(f"tpu_spmv_aligned_slots failed with code {rc}")
     return slots, kc
+
+
+def maximal_matching(indptr, indices, edge_weights, visit, mode: str):
+    """Native maximal matching round; bit-identical to the NumPy loop in
+    reorder/coarsen._maximal_matching given the same visit order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = _i64(indices)
+    weights = _i64(edge_weights)
+    visit = _i64(visit)
+    n = indptr.shape[0] - 1
+    match = np.empty(n, dtype=np.int64)
+    mode_id = {"random": 0, "heavy": 1, "light": 2}[mode]
+    rc = lib.tpu_spmv_maximal_matching(
+        n,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int64),
+        _ptr(weights, ctypes.c_int64),
+        _ptr(visit, ctypes.c_int64),
+        mode_id,
+        _ptr(match, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_maximal_matching failed with code {rc}")
+    return match

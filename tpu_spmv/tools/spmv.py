@@ -58,10 +58,11 @@ def main(argv=None):
                     help="column-bin width in 128-col x blocks for the "
                     "ranked layout (scattered-matrix mode); -1 = follow "
                     "the planner, 0 = cluster-aligned slots")
-    ap.add_argument("--sigma", type=int, default=0,
+    ap.add_argument("--sigma", type=int, default=-1,
                     help="SELL-C-sigma window: sort rows by descending "
                     "length within windows of this many rows before the "
-                    "layout build (cuts padding on skewed-degree matrices)")
+                    "layout build (cuts padding on skewed-degree matrices); "
+                    "-1 = follow the planner, 0 = off")
     ap.add_argument("--validate-only", action="store_true",
                     help="skip the timed benchmark (CI / CPU runs)")
     ap.add_argument("--layout-cache", default=None,
@@ -105,16 +106,22 @@ def main(argv=None):
     # while validation uses out_perm (rows).
     col_perm = ck.perm if pre_perm is None else pre_perm[ck.perm]
     out_perm = col_perm
-    if args.sigma:
+    sigma = args.sigma
+    if sigma < 0:
+        # Planner-recommended sigma (>20% sub-tile cut on skewed rows).
+        sigma = tpu_plan(ck.matrix, assume_rcm=True).sigma
+        if sigma:
+            print(f"planner recommends sigma={sigma}")
+    if sigma:
         from tpu_spmv.formats.sell import sigma_sort
 
-        sorted_mat, sperm = sigma_sort(ck.matrix, args.sigma)
+        sorted_mat, sperm = sigma_sort(ck.matrix, sigma)
         ck = type(ck)(
             matrix=sorted_mat, perm=ck.perm, maps=ck.maps, k=ck.k,
             sup_row_sizes=ck.sup_row_sizes,
         )
         out_perm = out_perm[sperm]
-        print(f"sigma={args.sigma} row sort applied")
+        print(f"sigma={sigma} row sort applied")
 
     kernel = args.kernel
     bin_blocks = args.bin_blocks

@@ -97,6 +97,7 @@ class TpuPlan:
     reason: str
     bin_blocks: int = 0  # >0: ranked kernel over column-binned slots
     est_cost: float = 0.0  # plain-iteration units (relative)
+    sigma: int = 0  # >0: SELL-C-sigma row-sort window worth applying
 
 
 # The SELL kernel gathers x block-by-block; beyond this span per chunk
@@ -320,6 +321,27 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
 
     needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
 
+    # SELL-C-sigma recommendation (the reference's AVX-512 lt4/gt4 role,
+    # spmv-intrin.c:119-223: short-row handling by density dispatch; here
+    # skewed row lengths cost slab padding instead). Recommend the local
+    # row sort when it cuts ordinal sub-tile count by >20% — it permutes
+    # rows only within sigma-row windows, so band locality survives.
+    sigma = 0
+    if sampled is not None and sampled.nnz:
+        from tpu_spmv.formats.sell import sigma_sort
+
+        lens = sampled.row_lengths.astype(np.int64)
+        nch = max(-(-sampled.m // LANES), 1)
+        lpad = np.zeros(nch * LANES, np.int64)
+        lpad[: sampled.m] = lens
+        s_now = _subtiles_from_kc(lpad.reshape(nch, LANES).max(axis=1))
+        cand_sigma = 32 * LANES
+        sorted_sub, _ = sigma_sort(sampled, cand_sigma)
+        lpad[: sampled.m] = sorted_sub.row_lengths
+        s_sorted = _subtiles_from_kc(lpad.reshape(nch, LANES).max(axis=1))
+        if s_sorted < 0.8 * s_now:
+            sigma = cand_sigma
+
     if not candidates:
         # Estimation-only path (exact=False or degenerate matrix): keep
         # the round-1 span-threshold heuristics.
@@ -349,4 +371,5 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         reason=reason,
         bin_blocks=bin_blocks,
         est_cost=float(cost),
+        sigma=sigma,
     )
