@@ -142,3 +142,37 @@ def test_cg_on_ranked_layout():
     sol = np.asarray(sol)[: mat.m]
     resid = np.linalg.norm(mat.matvec(sol) - 1.0) / np.sqrt(mat.m)
     assert resid < 1e-4, resid
+
+
+def test_pcg_converges_faster_than_cg():
+    """Jacobi-PCG on an ill-scaled SPD system: same iteration budget,
+    smaller residual than plain CG (row-local preconditioner, no extra
+    ICI traffic)."""
+    from tpu_spmv.dist.sharding import ShardedRanked
+    from tpu_spmv.dist.solvers import pcg_solve
+
+    mesh = _mesh_or_skip(4)
+    mat = random_banded(2000, 40, 8, seed=3)
+    # Ill-scale the rows/cols symmetrically: D A D with wild diag.
+    rng = np.random.default_rng(0)
+    scale = np.exp(rng.uniform(-3, 3, mat.m)).astype(np.float32)
+    rows = np.repeat(np.arange(mat.m), mat.row_lengths)
+    data = mat.data * scale[rows] * scale[mat.indices]
+    import tpu_spmv.formats.csr as csrmod
+
+    sm = csrmod.CSRMatrix(mat.indptr, mat.indices, data, mat.shape)
+    lay = ShardedRanked.build(sm, 4).device_put(mesh)
+    b = _shard_vec(np.ones(sm.m, np.float32), lay.padded_m, mesh)
+
+    diag = np.zeros(sm.m, np.float32)
+    dmask = mat.indices == rows
+    diag[rows[dmask]] = data[dmask]
+    invd = np.zeros(lay.padded_m, np.float32)
+    invd[: sm.m] = 1.0 / diag
+    invd_j = _shard_vec(invd[: sm.m], lay.padded_m, mesh)
+
+    sol_cg, _ = cg_solve(lay, b, mesh, iters=40)
+    sol_pcg, _ = pcg_solve(lay, b, mesh, invd_j, iters=40)
+    r_cg = np.linalg.norm(sm.matvec(np.asarray(sol_cg)[: sm.m]) - 1.0)
+    r_pcg = np.linalg.norm(sm.matvec(np.asarray(sol_pcg)[: sm.m]) - 1.0)
+    assert r_pcg < r_cg, (r_pcg, r_cg)

@@ -45,3 +45,22 @@ def test_spmm_matches_columnwise_spmv():
     assert (
         np.linalg.norm(Y - Yref) / np.linalg.norm(Yref) < 1e-6
     )
+
+
+def test_spmm_on_binned_layout():
+    """SpMM over column-binned slots (scattered matrices): the packed
+    window fields are group/bin-consistent with lcols by construction."""
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.matrices import random_general
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.spmm import spmm_ranked
+
+    mat = random_general(1500, 8, seed=4)
+    lay = RankedSlabs.from_csr(mat, bin_blocks=4, allow_groups=False)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((mat.n, 4)).astype(np.float32)
+    Y = np.asarray(spmm_ranked(lay, jnp.asarray(X), interpret=True))
+    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(4)], axis=1)
+    rel = np.linalg.norm(Y - Y_ref) / np.linalg.norm(Y_ref)
+    assert rel < 1e-6, rel

@@ -14,10 +14,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu_spmv.dist.sharding import ShardedSell, spmv_sharded
+from tpu_spmv.dist.sharding import ShardedRanked, ShardedSell, spmv_sharded  # noqa: F401
 
 
-def cg_step(layout: ShardedSell, mesh: Mesh, state, axis: str = "rows"):
+def cg_step(layout, mesh: Mesh, state, axis: str = "rows"):
+    # layout: ShardedSell or ShardedRanked (the flagship).
     """One CG iteration; all vectors row-sharded over `axis`."""
     x, r, p, rz = state
     Ap = spmv_sharded(layout, p, mesh, axis)
@@ -32,7 +33,7 @@ def cg_step(layout: ShardedSell, mesh: Mesh, state, axis: str = "rows"):
 
 
 def cg_solve(
-    layout: ShardedSell,
+    layout,
     b: jax.Array,
     mesh: Mesh,
     iters: int = 50,
@@ -51,6 +52,43 @@ def cg_solve(
         state = jax.lax.fori_loop(
             0, iters, lambda i, s: cg_step(layout, mesh, s, axis), state
         )
+        return state[0], state[3]
+
+    return run(b, iters)
+
+
+def pcg_solve(
+    layout,
+    b: jax.Array,
+    mesh: Mesh,
+    inv_diag: jax.Array,
+    iters: int = 50,
+    axis: str = "rows",
+):
+    """Jacobi-preconditioned CG: M = diag(A)^-1 applied row-locally (no
+    extra communication — the preconditioner is elementwise on the
+    row-sharded vectors). inv_diag: (padded_m,) row-sharded, zeros on
+    padding rows. Returns (x, final r.z)."""
+
+    def step(state):
+        x, r, p, rz = state
+        Ap = spmv_sharded(layout, p, mesh, axis)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.maximum(pAp, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r * inv_diag
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(b, iters):
+        x0 = jnp.zeros_like(b)
+        z0 = b * inv_diag
+        state = (x0, b, z0, jnp.vdot(b, z0))
+        state = jax.lax.fori_loop(0, iters, lambda i, s: step(s), state)
         return state[0], state[3]
 
     return run(b, iters)

@@ -631,10 +631,6 @@ class RankedSlabs:
             + self.num_subtiles * LANES * 4
         )
 
-    # SMEM budget for the grouped-window base table (G*S int32 words);
-    # beyond this the packed-delta encoding is used instead.
-    _GRP_SMEM_BYTES = 512 * 1024
-
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True,
@@ -712,18 +708,19 @@ class RankedSlabs:
                     glo = sub_base[:, r].copy()
                     ghi = hi_units[:, r].copy()
             G = len(members)
-            if G * S * 4 <= cls._GRP_SMEM_BYTES:
-                gb = np.empty_like(sub_base)
-                gmat = np.empty((G, S), np.int64)
-                group_code = G << 32
-                for gi, mem in enumerate(members):
-                    gmin = sub_base[:, mem].min(axis=1)
-                    gmat[gi] = gmin
-                    for r in mem:
-                        gb[:, r] = gmin
-                        group_code |= gi << (4 * r)
-                sub_base = gb  # all downstream metadata is group-relative
-                grp_b0 = gmat.reshape(-1).astype(np.int32)
+            gb = np.empty_like(sub_base)
+            gmat = np.empty((G, S), np.int64)
+            group_code = G << 32
+            for gi, mem in enumerate(members):
+                gmin = sub_base[:, mem].min(axis=1)
+                gmat[gi] = gmin
+                for r in mem:
+                    gb[:, r] = gmin
+                    group_code |= gi << (4 * r)
+            sub_base = gb  # all downstream metadata is group-relative
+            # Sub-tile-major (S, G) so the kernel's tile-blocked SMEM
+            # slice is contiguous (subs_per_tile * G words per tile).
+            grp_b0 = gmat.T.reshape(-1).astype(np.int32)
 
         # Local columns; padding slots point at the sublane window's first
         # entry (val=0 keeps them inert).

@@ -25,6 +25,20 @@ def _read_tokens(path):
         return f.read().split()
 
 
+def _read_numeric(path) -> np.ndarray | None:
+    """Parse the whole file as whitespace-separated numbers with NumPy's
+    C tokenizer (the native data-loader path — the reference reads these
+    files with C scanf loops, spmv-csr/spmv.c:11-57; the Python
+    str.split tokenizer takes minutes at reference scale). float64 holds
+    integers exactly below 2^53, far above any index here. Returns None
+    when the file has non-numeric tokens (fallback to the slow path)."""
+    try:
+        arr = np.fromfile(path, dtype=np.float64, sep=" ")
+    except (ValueError, OSError):
+        return None
+    return arr if arr.size else None
+
+
 def _detect_base(indptr: np.ndarray, indices: np.ndarray, n: int) -> int:
     """Infer whether the on-disk arrays are 0- or 1-based."""
     if indptr[0] == 0:
@@ -40,14 +54,26 @@ def read_csr_text(path, base: int | None = None) -> CSRMatrix:
     base: force 0 or 1; None autodetects from indptr[0] (and sanity-checks
     column range).
     """
-    tok = _read_tokens(path)
-    m, n, nnz = int(tok[0]), int(tok[1]), int(tok[2])
-    need = 3 + (m + 1) + 2 * nnz
-    if len(tok) < need:
-        raise ValueError(f"{path}: expected {need} tokens, found {len(tok)}")
-    indptr = np.array(tok[3 : 3 + m + 1], dtype=np.int64)
-    indices = np.array(tok[3 + m + 1 : 3 + m + 1 + nnz], dtype=np.int64)
-    data = np.array(tok[3 + m + 1 + nnz : need], dtype=np.float32)
+    num = _read_numeric(path)
+    if num is not None:
+        m, n, nnz = int(num[0]), int(num[1]), int(num[2])
+        need = 3 + (m + 1) + 2 * nnz
+        if num.shape[0] < need:
+            raise ValueError(
+                f"{path}: expected {need} tokens, found {num.shape[0]}"
+            )
+        indptr = num[3 : 3 + m + 1].astype(np.int64)
+        indices = num[3 + m + 1 : 3 + m + 1 + nnz].astype(np.int64)
+        data = num[3 + m + 1 + nnz : need].astype(np.float32)
+    else:
+        tok = _read_tokens(path)
+        m, n, nnz = int(tok[0]), int(tok[1]), int(tok[2])
+        need = 3 + (m + 1) + 2 * nnz
+        if len(tok) < need:
+            raise ValueError(f"{path}: expected {need} tokens, found {len(tok)}")
+        indptr = np.array(tok[3 : 3 + m + 1], dtype=np.int64)
+        indices = np.array(tok[3 + m + 1 : 3 + m + 1 + nnz], dtype=np.int64)
+        data = np.array(tok[3 + m + 1 + nnz : need], dtype=np.float32)
     if base is None:
         base = _detect_base(indptr, indices, n)
     if base == 1:
@@ -78,16 +104,18 @@ def read_csr2_text(path):
     path, reformat-csr-to-csr3/spmv.cpp:132-197): header of four ints
     (numCoarserRows m n nnz), the super-row pointer array, then CSR.
     """
-    tok = _read_tokens(path)
-    n_sup, m, n, nnz = (int(t) for t in tok[:4])
+    num = _read_numeric(path)
+    if num is None:
+        num = np.array(_read_tokens(path), dtype=np.float64)
+    n_sup, m, n, nnz = (int(t) for t in num[:4])
     p = 4
-    sup = np.array(tok[p : p + n_sup + 1], dtype=np.int64)
+    sup = num[p : p + n_sup + 1].astype(np.int64)
     p += n_sup + 1
-    indptr = np.array(tok[p : p + m + 1], dtype=np.int64)
+    indptr = num[p : p + m + 1].astype(np.int64)
     p += m + 1
-    indices = np.array(tok[p : p + nnz], dtype=np.int64)
+    indices = num[p : p + nnz].astype(np.int64)
     p += nnz
-    data = np.array(tok[p : p + nnz], dtype=np.float32)
+    data = num[p : p + nnz].astype(np.float32)
     return CSRMatrix(indptr, indices, data, (m, n)), sup.astype(np.int32)
 
 
@@ -113,18 +141,20 @@ def read_csr3_text(path):
     Layout per reformat-csr-to-csr3/spmv-auto.cpp:38-63: header of five ints,
     then the two super-row pointer arrays (0-based), then plain CSR arrays.
     """
-    tok = _read_tokens(path)
-    n_coarsest, n_coarser, m, n, nnz = (int(t) for t in tok[:5])
+    num = _read_numeric(path)
+    if num is None:
+        num = np.array(_read_tokens(path), dtype=np.float64)
+    n_coarsest, n_coarser, m, n, nnz = (int(t) for t in num[:5])
     p = 5
-    coarsest = np.array(tok[p : p + n_coarsest + 1], dtype=np.int64)
+    coarsest = num[p : p + n_coarsest + 1].astype(np.int64)
     p += n_coarsest + 1
-    coarser = np.array(tok[p : p + n_coarser + 1], dtype=np.int64)
+    coarser = num[p : p + n_coarser + 1].astype(np.int64)
     p += n_coarser + 1
-    indptr = np.array(tok[p : p + m + 1], dtype=np.int64)
+    indptr = num[p : p + m + 1].astype(np.int64)
     p += m + 1
-    indices = np.array(tok[p : p + nnz], dtype=np.int64)
+    indices = num[p : p + nnz].astype(np.int64)
     p += nnz
-    data = np.array(tok[p : p + nnz], dtype=np.float32)
+    data = num[p : p + nnz].astype(np.float32)
     mat = CSRMatrix(indptr, indices, data, (m, n))
     return mat, coarsest.astype(np.int32), coarser.astype(np.int32)
 

@@ -46,6 +46,30 @@ def _round_up(x: int, m: int) -> int:
 VMEM_BYTES = 128 * 2**20
 
 
+def _meta_block(per_tile: int) -> tuple:
+    """(tiles_per_block, block_elems) for a tile-blocked 1D SMEM
+    metadata array: XLA lays 1D s32 arrays out with tile T(1024), and
+    Mosaic requires block shapes aligned to it, so one SMEM block covers
+    k grid tiles such that k*per_tile is a multiple of 1024; the kernel
+    indexes [(t % k) * per_tile + local]. Per-sub-tile metadata must be
+    blocked, not scalar-prefetched: prefetch arrays are FULLY SMEM-
+    resident and padded binned layouts reach several MB of metadata
+    (this killed the general_500k / powerlaw_1m compiles)."""
+    import math
+
+    k = 1024 // math.gcd(per_tile, 1024)
+    return k, k * per_tile
+
+
+def _pad_meta(arr, num_tiles: int, per_tile: int, tiles_per_block: int):
+    """Pad a (num_tiles*per_tile,) metadata array so the tile-block
+    grid divides it exactly."""
+    blocks = -(-num_tiles // tiles_per_block)
+    target = blocks * tiles_per_block * per_tile
+    pad = target - arr.shape[0]
+    return jnp.pad(arr, (0, pad)) if pad else arr
+
+
 def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
     """True when the resident kernels' VMEM working set (padded x + the
     double-buffered slab/partial tiles) fits `budget_frac` of VMEM.
@@ -93,7 +117,7 @@ def _reduce_partials(partials, layout):
     return chunk_sums[:-1].reshape(-1)[: layout.m]
 
 
-def _make_kernel(tile_k: int, max_nb: int):
+def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int):
     """Kernel with fully static control flow.
 
     Every loop trip count is concrete (Python loops), because Mosaic costs
@@ -104,16 +128,15 @@ def _make_kernel(tile_k: int, max_nb: int):
     """
     subs_per_tile = tile_k // SUBLANES
 
-    def kernel(sub_b0, sub_nb, vals_ref, cols_ref, x_ref, part_ref):
-        del sub_nb  # only used by the host to pick max_nb
-        t = pl.program_id(0)
+    def kernel(sub_b0, vals_ref, cols_ref, x_ref, part_ref):
+        off = jax.lax.rem(pl.program_id(0), tiles_per_block) * subs_per_tile
         for s in range(subs_per_tile):
             cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             # Lane-local index is block-independent: hoist out of the loop.
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
-            b0 = sub_b0[t * subs_per_tile + s]
+            b0 = sub_b0[off + s]
             acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
             for i in range(max_nb):
                 b = b0 + i
@@ -146,26 +169,30 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
         x2d.reshape(-1), x.astype(jnp.float32), (0,)
     ).reshape(n_pad // LANES, LANES)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    tpb, block_elems = _meta_block(subs_per_tile)
+    grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, b0, nb: (t, 0), memory_space=pltpu.VMEM
+                (block_elems,), lambda t: (t // tpb,),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, b0, nb: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x, fully resident
         ],
         out_specs=pl.BlockSpec(
-            (subs_per_tile, LANES), lambda t, b0, nb: (t, 0),
+            (subs_per_tile, LANES), lambda t: (t, 0),
             memory_space=pltpu.VMEM,
         ),
     )
 
     partials = pl.pallas_call(
-        _make_kernel(tile_k, layout.max_nb),
+        _make_kernel(tile_k, layout.max_nb, tpb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
         interpret=interpret,
@@ -174,7 +201,8 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
             bytes_accessed=layout.hbm_bytes,
             transcendentals=0,
         ),
-    )(layout.sub_b0, layout.sub_nb, layout.vals, layout.cols, x2d)
+    )(_pad_meta(layout.sub_b0, num_tiles, subs_per_tile, tpb),
+      layout.vals, layout.cols, x2d)
 
     # Coarsest reduction level: chunk totals from sub-tile partials.
     return _reduce_partials(partials, layout)
@@ -190,22 +218,31 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
     rank_nb == 2 a single select combines them; wider spans accumulate
     per pair. With cluster-aligned slots rank_nb is 2-3 after RCM vs the
     sub-tile-wide span (~bandwidth/128) the plain kernel loops over.
+
+    Per-sub-tile metadata (sub_b0/dlo/dhi) arrives as TILE-BLOCKED SMEM
+    inputs, not scalar prefetch: prefetch operands live in SMEM in FULL,
+    and heavily padded binned layouts reach S > 300k sub-tiles = several
+    MB of metadata, past the ~1MB SMEM budget (this killed the
+    general_500k/powerlaw_1m compiles). Blocked, only the current tile's
+    slice (subs_per_tile words per array) is resident.
     """
     subs_per_tile = tile_k // SUBLANES
     npairs = max((rank_nb + 1) // 2, 1)
+    tiles_per_block, _ = _meta_block(subs_per_tile)
 
     def kernel(sub_b0, sub_dlo, sub_dhi, vals_ref, lcols_ref, x_ref, part_ref):
-        t = pl.program_id(0)
+        off = jax.lax.rem(
+            pl.program_id(0), tiles_per_block
+        ) * subs_per_tile
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
                 jnp.int32
             )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
-            b0 = sub_b0[g]
-            dlo = sub_dlo[g]
-            dhi = sub_dhi[g]
+            b0 = sub_b0[off + s]
+            dlo = sub_dlo[off + s]
+            dhi = sub_dhi[off + s]
             bases = [
                 b0 + jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(dlo, 8 * r), 255
@@ -254,26 +291,29 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
     return kernel
 
 
-def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple, S: int):
+def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple):
     """Grouped-window rank kernel: sublanes sharing a window (static map
     `groups`) read ONE absolute base from SMEM and issue ONE (2,128)
     load per pair-step — G loads + G scalar reads per sub-tile instead
     of 8 loads plus the 16-op packed-delta unpack (measured 3.7 cyc/
-    sub-tile on the flagship; see RankedSlabs.from_csr grouping)."""
+    sub-tile on the flagship; see RankedSlabs.from_csr grouping).
+    grp_b0 arrives tile-blocked (sub-tile-major, G per sub-tile)."""
     subs_per_tile = tile_k // SUBLANES
     G = max(groups) + 1
     npairs = max((rank_nb + 1) // 2, 1)
+    tiles_per_block, _ = _meta_block(subs_per_tile * G)
 
     def kernel(grp_b0, vals_ref, lcols_ref, x_ref, part_ref):
-        t = pl.program_id(0)
+        off = jax.lax.rem(
+            pl.program_id(0), tiles_per_block
+        ) * (subs_per_tile * G)
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
                 jnp.int32
             )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
-            bases = [grp_b0[gi * S + g] for gi in range(G)]
+            bases = [grp_b0[off + s * G + gi] for gi in range(G)]
             if rank_nb == 1:
                 wins = [x_ref[pl.ds(bases[gi], 1), :] for gi in range(G)]
                 xw = jnp.concatenate(
@@ -334,31 +374,44 @@ def spmv_ranked(
         x2d.reshape(-1), x.astype(jnp.float32), (0,)
     ).reshape(n_pad // LANES, LANES)
 
-    if layout.group_code:
-        kernel = _make_grouped_kernel(
-            tile_k, layout.rank_nb, layout.groups, layout.num_subtiles
+    subs_per_tile = tile_k // SUBLANES
+
+    def smem1d(per_tile):
+        tpb, block_elems = _meta_block(per_tile)
+        return pl.BlockSpec(
+            (block_elems,), lambda t: (t // tpb,), memory_space=pltpu.SMEM
         )
-        nscalar = 1
-        scalars = (layout.grp_b0,)
+
+    if layout.group_code:
+        G = max(layout.groups) + 1
+        kernel = _make_grouped_kernel(tile_k, layout.rank_nb, layout.groups)
+        tpb_g, _ = _meta_block(subs_per_tile * G)
+        meta_specs = [smem1d(subs_per_tile * G)]
+        meta = (
+            _pad_meta(layout.grp_b0, num_tiles, subs_per_tile * G, tpb_g),
+        )
     else:
         kernel = _make_ranked_kernel(tile_k, layout.rank_nb)
-        nscalar = 3
-        scalars = (layout.sub_b0, layout.sub_dlo, layout.sub_dhi)
+        tpb, _ = _meta_block(subs_per_tile)
+        meta_specs = [smem1d(subs_per_tile)] * 3
+        meta = tuple(
+            _pad_meta(a, num_tiles, subs_per_tile, tpb)
+            for a in (layout.sub_b0, layout.sub_dlo, layout.sub_dhi)
+        )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=nscalar,
+    grid_spec = pl.GridSpec(
         grid=(num_tiles,),
-        in_specs=[
+        in_specs=meta_specs + [
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x, fully resident
         ],
         out_specs=pl.BlockSpec(
-            (tile_k // SUBLANES, LANES), lambda t, *_: (t, 0),
+            (subs_per_tile, LANES), lambda t: (t, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -373,7 +426,7 @@ def spmv_ranked(
             bytes_accessed=layout.hbm_bytes,
             transcendentals=0,
         ),
-    )(*scalars, layout.vals, layout.lcols, x2d)
+    )(*meta, layout.vals, layout.lcols, x2d)
 
     return _reduce_partials(partials, layout)
 
@@ -384,12 +437,14 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int)
     while the previous step computes. Removes the VMEM residency cap on
     n (the resident kernel needs x fully in VMEM, ~3M rows)."""
     subs_per_tile = tile_k // SUBLANES
+    tiles_per_block, _ = _meta_block(subs_per_tile)
 
     def kernel(
         tile_b0, sub_b0, sub_dlo, sub_dhi,
         vals_ref, lcols_ref, x_hbm, part_ref, xwin, sems,
     ):
         t = pl.program_id(0)
+        moff = jax.lax.rem(t, tiles_per_block) * subs_per_tile
         slot = jax.lax.rem(t, 2)
         nslot = jax.lax.rem(t + 1, 2)
 
@@ -412,15 +467,14 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int)
         w0 = tile_b0[t]
 
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
                 jnp.int32
             )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
-            b0 = sub_b0[g] - w0
-            dlo = sub_dlo[g]
-            dhi = sub_dhi[g]
+            b0 = sub_b0[moff + s] - w0
+            dlo = sub_dlo[moff + s]
+            dhi = sub_dhi[moff + s]
             bases = [
                 b0 + jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(dlo, 8 * r), 255
@@ -481,10 +535,21 @@ def spmv_ranked_windowed(
         x2d.reshape(-1), x.astype(jnp.float32), (0,)
     ).reshape(n_blocks, LANES)
 
+    subs_per_tile = tile_k // SUBLANES
+    # tile_b0 stays scalar-prefetch: the double-buffer DMA needs the
+    # NEXT tile's base (t+1 lookahead), and it is one word per tile.
+    # Per-sub-tile metadata is tile-blocked SMEM (see _make_ranked_kernel).
+    tpb, block_elems = _meta_block(subs_per_tile)
+    smem1d = pl.BlockSpec(
+        (block_elems,), lambda t, *_: (t // tpb,), memory_space=pltpu.SMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
+            smem1d,
+            smem1d,
+            smem1d,
             pl.BlockSpec(
                 (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
             ),
@@ -494,7 +559,7 @@ def spmv_ranked_windowed(
             pl.BlockSpec(memory_space=pl.ANY),  # x, HBM-resident
         ],
         out_specs=pl.BlockSpec(
-            (tile_k // SUBLANES, LANES), lambda t, *_: (t, 0),
+            (subs_per_tile, LANES), lambda t, *_: (t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -514,7 +579,10 @@ def spmv_ranked_windowed(
             transcendentals=0,
         ),
     )(
-        layout.tile_b0, layout.sub_b0, layout.sub_dlo, layout.sub_dhi,
+        layout.tile_b0,
+        _pad_meta(layout.sub_b0, num_tiles, subs_per_tile, tpb),
+        _pad_meta(layout.sub_dlo, num_tiles, subs_per_tile, tpb),
+        _pad_meta(layout.sub_dhi, num_tiles, subs_per_tile, tpb),
         layout.vals, layout.lcols, x2d,
     )
 

@@ -32,19 +32,24 @@ def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int):
     subs_per_tile = tile_k // SUBLANES
     npairs = max((rank_nb + 1) // 2, 1)
 
+    from tpu_spmv.kernels.pallas_sell import _meta_block
+
+    tiles_per_block, _ = _meta_block(subs_per_tile)
+
     def kernel(sub_b0, sub_dlo, sub_dhi, vals_ref, lcols_ref, x_ref, part_ref):
-        t = pl.program_id(0)
+        off = jax.lax.rem(
+            pl.program_id(0), tiles_per_block
+        ) * subs_per_tile
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
                 jnp.int32
             )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             sel = jax.lax.shift_right_logical(lcols, 7)
-            b0 = sub_b0[g]
-            dlo = sub_dlo[g]
-            dhi = sub_dhi[g]
+            b0 = sub_b0[off + s]
+            dlo = sub_dlo[off + s]
+            dhi = sub_dhi[off + s]
             bases = [
                 b0 + jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(dlo, 8 * r), 255
@@ -121,20 +126,28 @@ def spmm_ranked(
         .reshape(nblocks * B, LANES)
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    subs_per_tile = tile_k // SUBLANES
+    # Tile-blocked SMEM metadata (see pallas_sell._make_ranked_kernel).
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _pad_meta
+
+    tpb, block_elems = _meta_block(subs_per_tile)
+    smem1d = pl.BlockSpec(
+        (block_elems,), lambda t: (t // tpb,), memory_space=pltpu.SMEM
+    )
+    grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
+            smem1d, smem1d, smem1d,
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # staged X, resident
         ],
         out_specs=pl.BlockSpec(
-            (tile_k // SUBLANES * B, LANES), lambda t, *_: (t, 0),
+            (subs_per_tile * B, LANES), lambda t: (t, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -151,8 +164,10 @@ def spmm_ranked(
             bytes_accessed=layout.hbm_bytes + 4 * (n + layout.m) * B,
             transcendentals=0,
         ),
-    )(layout.sub_b0, layout.sub_dlo, layout.sub_dhi, layout.vals,
-      layout.lcols, x2d)
+    )(_pad_meta(layout.sub_b0, num_tiles, subs_per_tile, tpb),
+      _pad_meta(layout.sub_dlo, num_tiles, subs_per_tile, tpb),
+      _pad_meta(layout.sub_dhi, num_tiles, subs_per_tile, tpb),
+      layout.vals, layout.lcols, x2d)
 
     nc = layout.num_chunks
     q = layout.chunk_q

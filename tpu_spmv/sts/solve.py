@@ -171,12 +171,30 @@ def _round_up_arr(a: np.ndarray, mult: int) -> np.ndarray:
     return -(-a // mult) * mult
 
 
-def _make_solve_kernel(tile_k: int, num_chunks: int):
+_LAST_FLAG_SHIFT = 30  # sub_chunk bit 30: this sub-tile finalizes its chunk
+
+
+def _flagged_sub_chunk(sub_chunk, num_chunks: int):
+    """Pack the next-owner-differs lookahead into bit 30 of sub_chunk so
+    the solve kernels only read tile-LOCAL metadata (tile-blocked SMEM;
+    full scalar-prefetch arrays overflow SMEM on big padded layouts)."""
+    ext = jnp.concatenate(
+        [sub_chunk, jnp.full((1,), num_chunks + 1, sub_chunk.dtype)]
+    )
+    is_last = (ext[1:] != ext[:-1]).astype(sub_chunk.dtype)
+    return sub_chunk | (is_last << _LAST_FLAG_SHIFT)
+
+
+def _make_solve_kernel(tile_k: int):
+    from tpu_spmv.kernels.pallas_sell import _meta_block
+
     subs_per_tile = tile_k // SUBLANES
+    tiles_per_block, _ = _meta_block(subs_per_tile)
 
     def kernel(sub_b0, sub_nb, sub_chunk, vals_ref, cols_ref, b_ref, x_ref,
                acc_ref):
         t = pl.program_id(0)
+        moff = jax.lax.rem(t, tiles_per_block) * subs_per_tile
 
         @pl.when(t == 0)
         def _():
@@ -184,12 +202,11 @@ def _make_solve_kernel(tile_k: int, num_chunks: int):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
-            b0 = sub_b0[g]
+            b0 = sub_b0[moff + s]
 
             # The pack permutation (levels/colors sorted by size) scatters
             # a row's dependencies across all earlier packs, so sub-tile
@@ -208,15 +225,18 @@ def _make_solve_kernel(tile_k: int, num_chunks: int):
                 return gath + jnp.where(blk == b, gathered, 0.0)
 
             gath = jax.lax.fori_loop(
-                0, sub_nb[g], body, jnp.zeros((SUBLANES, LANES), jnp.float32)
+                0, sub_nb[moff + s], body,
+                jnp.zeros((SUBLANES, LANES), jnp.float32)
             )
             acc_ref[:] = acc_ref[:] + jnp.sum(
                 vals * gath, axis=0, keepdims=True
             )
 
-            # Finalize the chunk when the next sub-tile has a new owner.
-            c = sub_chunk[g]
-            is_last = sub_chunk[g + 1] != c
+            # Finalize the chunk when the next sub-tile has a new owner
+            # (pre-packed as bit 30 of sub_chunk).
+            cf = sub_chunk[moff + s]
+            c = jax.lax.bitwise_and(cf, (1 << _LAST_FLAG_SHIFT) - 1)
+            is_last = jax.lax.shift_right_logical(cf, _LAST_FLAG_SHIFT) != 0
 
             @pl.when(is_last)
             def _():
@@ -229,11 +249,15 @@ def _make_solve_kernel(tile_k: int, num_chunks: int):
 def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
     """Rank-windowed solve: static per-sublane gather windows (see
     RankedSlabs) + the chunk accumulate/finalize schedule."""
+    from tpu_spmv.kernels.pallas_sell import _meta_block
+
     subs_per_tile = tile_k // SUBLANES
+    tiles_per_block, _ = _meta_block(subs_per_tile)
 
     def kernel(sub_b0, sub_dlo, sub_dhi, sub_chunk, vals_ref, lcols_ref,
                b_ref, x_ref, acc_ref):
         t = pl.program_id(0)
+        moff = jax.lax.rem(t, tiles_per_block) * subs_per_tile
 
         @pl.when(t == 0)
         def _():
@@ -241,15 +265,14 @@ def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         for s in range(subs_per_tile):
-            g = t * subs_per_tile + s
             lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
                 jnp.int32
             )
             vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
-            b0 = sub_b0[g]
-            dlo = sub_dlo[g]
-            dhi = sub_dhi[g]
+            b0 = sub_b0[moff + s]
+            dlo = sub_dlo[moff + s]
+            dhi = sub_dhi[moff + s]
             bases = [
                 b0 + jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(dlo, 8 * r), 255
@@ -276,8 +299,9 @@ def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
                 vals * gath, axis=0, keepdims=True
             )
 
-            c = sub_chunk[g]
-            is_last = sub_chunk[g + 1] != c
+            cf = sub_chunk[moff + s]
+            c = jax.lax.bitwise_and(cf, (1 << _LAST_FLAG_SHIFT) - 1)
+            is_last = jax.lax.shift_right_logical(cf, _LAST_FLAG_SHIFT) != 0
 
             @pl.when(is_last)
             def _():
@@ -293,21 +317,26 @@ def _lower_solve_ranked(layout, b_scale, interpret):
     tile_k = min(512, total_k)
     num_tiles = total_k // tile_k
     num_chunks = rk.num_chunks
-    sub_chunk_ext = jnp.concatenate(
-        [rk.sub_chunk, jnp.full((1,), num_chunks + 1, jnp.int32)]
-    )
+    subs_per_tile = tile_k // SUBLANES
+    sub_chunk_f = _flagged_sub_chunk(rk.sub_chunk, num_chunks)
     # Guard blocks: the static gather loop reads up to base + rank_nb - 1.
     x_blocks = num_chunks + 1 + rk.rank_nb
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _pad_meta
+
+    tpb, block_elems = _meta_block(subs_per_tile)
+    smem1d = pl.BlockSpec(
+        (block_elems,), lambda t: (t // tpb,), memory_space=pltpu.SMEM
+    )
+    grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
+            smem1d, smem1d, smem1d, smem1d,
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_scale, resident
         ],
@@ -324,8 +353,11 @@ def _lower_solve_ranked(layout, b_scale, interpret):
             bytes_accessed=rk.hbm_bytes,
             transcendentals=0,
         ),
-    )(rk.sub_b0, rk.sub_dlo, rk.sub_dhi, sub_chunk_ext, rk.vals, rk.lcols,
-      b_scale)
+    )(_pad_meta(rk.sub_b0, num_tiles, subs_per_tile, tpb),
+      _pad_meta(rk.sub_dlo, num_tiles, subs_per_tile, tpb),
+      _pad_meta(rk.sub_dhi, num_tiles, subs_per_tile, tpb),
+      _pad_meta(sub_chunk_f, num_tiles, subs_per_tile, tpb),
+      rk.vals, rk.lcols, b_scale)
     return x_pad.reshape(-1)[layout.pad_index]
 
 
@@ -346,27 +378,31 @@ def lower_solve(
     tile_k = min(512, total_k)
     num_tiles = total_k // tile_k
     num_chunks = slabs.num_chunks
+    subs_per_tile = tile_k // SUBLANES
 
-    # sub_chunk sentinel pad: one extra entry so the in-kernel lookahead
-    # sub_chunk[g+1] never reads out of bounds; the final real sub-tile
-    # always flushes (sentinel differs).
-    sub_chunk_ext = jnp.concatenate(
-        [slabs.sub_chunk, jnp.full((1,), num_chunks + 1, jnp.int32)]
-    )
+    # Chunk-finalize lookahead pre-packed into bit 30 (the final real
+    # sub-tile always flushes: the sentinel owner differs).
+    sub_chunk_f = _flagged_sub_chunk(slabs.sub_chunk, num_chunks)
 
     # x buffer: num_chunks real blocks + 1 pad-chunk block (the dynamic
     # gather loop never reads past a sub-tile's real span).
     x_blocks = num_chunks + 1
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _pad_meta
+
+    tpb, block_elems = _meta_block(subs_per_tile)
+    smem1d = pl.BlockSpec(
+        (block_elems,), lambda t: (t // tpb,), memory_space=pltpu.SMEM
+    )
+    grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
+            smem1d, smem1d, smem1d,
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                (tile_k, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_scale, resident
         ],
@@ -375,7 +411,7 @@ def lower_solve(
     )
 
     x_pad = pl.pallas_call(
-        _make_solve_kernel(tile_k, num_chunks),
+        _make_solve_kernel(tile_k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
         interpret=interpret,
@@ -384,7 +420,10 @@ def lower_solve(
             bytes_accessed=slabs.hbm_bytes,
             transcendentals=0,
         ),
-    )(slabs.sub_b0, slabs.sub_nb, sub_chunk_ext, slabs.vals, slabs.cols, b_scale)
+    )(_pad_meta(slabs.sub_b0, num_tiles, subs_per_tile, tpb),
+      _pad_meta(slabs.sub_nb, num_tiles, subs_per_tile, tpb),
+      _pad_meta(sub_chunk_f, num_tiles, subs_per_tile, tpb),
+      slabs.vals, slabs.cols, b_scale)
 
     return x_pad.reshape(-1)[layout.pad_index]
 
