@@ -206,6 +206,19 @@ def matrix_key(mat: CSRMatrix) -> np.ndarray:
     return np.asarray([mat.m, mat.n, mat.nnz, h], dtype=np.int64)
 
 
+
+def pick_tile_k(total_k: int, cap: int = 2048) -> int:
+    """Largest grid-tile size <= cap that divides total_k (which is
+    padded to 512 sublanes). Bigger tiles amortize grid-step overhead
+    and issue larger slab DMAs (512 -> 2048 measured 1.3x on the
+    flagship); total_k stays quantized at 512 so small matrices do not
+    pay 2048-sublane padding."""
+    for t in (cap, 2048, 1024, 512):
+        if t <= cap and total_k % t == 0:
+            return t
+    return min(cap, total_k)
+
+
 def _binned_slots(mat: CSRMatrix, bin_blocks: int):
     """Column-binned slot assignment: the scattered-matrix layout.
 
@@ -428,7 +441,7 @@ class SellSlabs:
 
     @classmethod
     def from_csr(
-        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = False,
+        cls, mat: CSRMatrix, tile_k: int = 2048, align: bool = False,
         bin_blocks: int = 0,
     ) -> "SellSlabs":
         """Build the layout from a (preferably RCM'd) CSR matrix.
@@ -463,7 +476,7 @@ class SellSlabs:
         )
         koff = np.zeros(num_chunks + 1, dtype=np.int64)
         np.cumsum(kc, out=koff[1:])
-        total_k = _round_up(int(koff[-1]), tile_k)
+        total_k = _round_up(int(koff[-1]), min(tile_k, 512))
 
         vals = np.zeros((total_k, LANES), dtype=np.float32)
         cols = np.full((total_k, LANES), -1, dtype=np.int64)
@@ -574,7 +587,7 @@ class RankedSlabs:
     rank_nb: int
     chunk_q: int = 0  # uniform sub-tiles per chunk (0 = ragged)
     win_w: int = 0
-    tile_k: int = 512
+    tile_k: int = 2048
     # Grouped windows: sublanes whose windows coincide share ONE base,
     # stored ABSOLUTE in grp_b0 ((G*S,) int32, group-major) — the kernel
     # then does G scalar reads + G window loads per sub-tile instead of
@@ -633,7 +646,7 @@ class RankedSlabs:
 
     @classmethod
     def from_csr(
-        cls, mat: CSRMatrix, tile_k: int = 512, align: bool = True,
+        cls, mat: CSRMatrix, tile_k: int = 2048, align: bool = True,
         bin_blocks: int = 0, allow_groups: bool = True,
     ) -> "RankedSlabs":
         base = SellSlabs.from_csr(
@@ -750,7 +763,8 @@ class RankedSlabs:
             sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
         # Per-tile window metadata for the HBM-windowed kernel: tile t
         # gathers only from blocks [tile_b0[t], tile_b0[t] + win_w).
-        subs_per_tile = min(tile_k, total_k) // SUBLANES
+        tile_eff = pick_tile_k(total_k, tile_k)
+        subs_per_tile = tile_eff // SUBLANES
         T = S // subs_per_tile
         base_t = sub_base.reshape(T, subs_per_tile * SUBLANES)
         tile_b0 = base_t.min(axis=1)
@@ -779,7 +793,7 @@ class RankedSlabs:
             rank_nb=rank_nb,
             chunk_q=base.chunk_q,
             win_w=win_w,
-            tile_k=min(tile_k, total_k),
+            tile_k=tile_eff,
             grp_b0=jnp.asarray(grp_b0),
             group_code=group_code,
         )

@@ -156,7 +156,9 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
     total_k = int(layout.vals.shape[0])
     # Tile size: 512 sublanes (256KB val + 256KB col per step) unless the
     # matrix is smaller than one tile (from_csr pads total_k to tile_k).
-    tile_k = min(512, total_k)
+    from tpu_spmv.formats.sell import pick_tile_k
+
+    tile_k = pick_tile_k(total_k)
     num_tiles = total_k // tile_k
     subs_per_tile = tile_k // SUBLANES
 
@@ -361,7 +363,9 @@ def spmv_ranked(
 ) -> jax.Array:
     """y = A @ x with A in rank-windowed SELL layout."""
     total_k = int(layout.vals.shape[0])
-    tile_k = layout.tile_k or min(512, total_k)
+    from tpu_spmv.formats.sell import pick_tile_k
+
+    tile_k = layout.tile_k or pick_tile_k(total_k)
     num_tiles = total_k // tile_k
 
     # x as 128-wide blocks with guard blocks for the static gather loop

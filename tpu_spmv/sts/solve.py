@@ -314,7 +314,9 @@ def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
 def _lower_solve_ranked(layout, b_scale, interpret):
     rk = layout.ranked
     total_k = int(rk.vals.shape[0])
-    tile_k = min(512, total_k)
+    from tpu_spmv.formats.sell import pick_tile_k
+
+    tile_k = pick_tile_k(total_k)
     num_tiles = total_k // tile_k
     num_chunks = rk.num_chunks
     subs_per_tile = tile_k // SUBLANES
@@ -375,7 +377,9 @@ def lower_solve(
     if layout.ranked is not None:
         return _lower_solve_ranked(layout, b_scale, interpret)
     total_k = int(slabs.vals.shape[0])
-    tile_k = min(512, total_k)
+    from tpu_spmv.formats.sell import pick_tile_k
+
+    tile_k = pick_tile_k(total_k)
     num_tiles = total_k // tile_k
     num_chunks = slabs.num_chunks
     subs_per_tile = tile_k // SUBLANES

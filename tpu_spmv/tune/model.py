@@ -364,7 +364,7 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
 
     return TpuPlan(
         kernel=kernel,
-        tile_k=512,
+        tile_k=2048,
         needs_rcm=needs_rcm,
         est_max_nb=est_nb,
         est_rank_nb=est_rank,
