@@ -30,6 +30,7 @@ for r in range(4):
 code = 8 << 32
 for r in range(8):
     code |= r << (4 * r)
+gmat = gmat.T.copy()  # sub-tile-major, matching from_csr / the kernel
 lay2 = RankedSlabs(
     vals=lay.vals, lcols=lay.lcols, sub_b0=lay.sub_b0, sub_dlo=lay.sub_dlo,
     sub_dhi=lay.sub_dhi, sub_chunk=lay.sub_chunk, tile_b0=lay.tile_b0,

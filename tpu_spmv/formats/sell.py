@@ -191,19 +191,22 @@ def _aligned_slots(mat: CSRMatrix, gap: int = LANES, cap_factor: float = 2.0):
 
 
 
-def matrix_key(mat: CSRMatrix) -> np.ndarray:
-    """Cheap identity fingerprint (m, n, nnz, crc32 of structure+values).
+def matrix_key(mat: CSRMatrix, config: tuple = ()) -> np.ndarray:
+    """Cheap identity fingerprint (m, n, nnz, crc32 of structure+values,
+    plus layout-config ints like bin_blocks).
 
     Stored inside layout cache files so a stale artifact from a different
-    matrix (or different rcm/sigma/k preprocessing — those change the
-    matrix content) is rejected at load instead of silently benchmarked.
+    matrix (or different rcm/sigma/k/bin_blocks configuration) is
+    rejected at load instead of silently benchmarked.
     """
     import zlib
 
     h = zlib.crc32(np.ascontiguousarray(mat.indptr).tobytes())
     h = zlib.crc32(np.ascontiguousarray(mat.indices).tobytes(), h)
     h = zlib.crc32(np.ascontiguousarray(mat.data).tobytes(), h)
-    return np.asarray([mat.m, mat.n, mat.nnz, h], dtype=np.int64)
+    return np.asarray(
+        [mat.m, mat.n, mat.nnz, h, *config], dtype=np.int64
+    )
 
 
 
@@ -343,7 +346,8 @@ def _binned_slots(mat: CSRMatrix, bin_blocks: int):
     return slots, kc
 
 
-def _save_layout(layout, path, matrix: CSRMatrix | None = None) -> None:
+def _save_layout(layout, path, matrix: CSRMatrix | None = None,
+                 config: tuple = ()) -> None:
     """Persist a layout's device arrays + static config to .npz.
 
     The TPU analog of the reference's precompute artifacts (.csr2/.csr3
@@ -354,7 +358,7 @@ def _save_layout(layout, path, matrix: CSRMatrix | None = None) -> None:
     children, aux = layout.tree_flatten()
     arrays = {f"c{i}": np.asarray(a) for i, a in enumerate(children)}
     if matrix is not None:
-        arrays["__mkey__"] = matrix_key(matrix)
+        arrays["__mkey__"] = matrix_key(matrix, config)
     np.savez_compressed(
         path,
         __class__=type(layout).__name__,
@@ -363,21 +367,22 @@ def _save_layout(layout, path, matrix: CSRMatrix | None = None) -> None:
     )
 
 
-def load_layout(path, matrix: CSRMatrix | None = None):
+def load_layout(path, matrix: CSRMatrix | None = None, config: tuple = ()):
     """Load a layout saved by SellSlabs.save / RankedSlabs.save.
 
     When `matrix` is given, the cached fingerprint (if present) must
-    match it exactly — a mismatch raises instead of returning a layout
-    built from some other matrix.
+    match it (and the layout-config ints) exactly — a mismatch raises
+    instead of returning a layout built from some other matrix/config.
     """
     with np.load(path, allow_pickle=False) as z:
         clsname = str(z["__class__"])
         aux = tuple(int(v) for v in z["__aux__"])
         if matrix is not None and "__mkey__" in z:
-            if not np.array_equal(z["__mkey__"], matrix_key(matrix)):
+            if not np.array_equal(z["__mkey__"], matrix_key(matrix, config)):
                 raise ValueError(
                     f"layout cache {path} was built from a different matrix "
-                    "(or different rcm/sigma/k preprocessing); rebuild it"
+                    "or layout configuration (rcm/sigma/k/bin_blocks); "
+                    "rebuild it"
                 )
         children = []
         i = 0
@@ -385,6 +390,11 @@ def load_layout(path, matrix: CSRMatrix | None = None):
             children.append(jnp.asarray(z[f"c{i}"]))
             i += 1
     cls = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}[clsname]
+    if clsname == "RankedSlabs" and len(children) < 8:
+        raise ValueError(
+            f"layout cache {path} predates the grouped-window layout "
+            "fields; rebuild it"
+        )
     return cls.tree_unflatten(aux, children)
 
 
@@ -418,8 +428,9 @@ class SellSlabs:
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
 
-    def save(self, path, matrix: CSRMatrix | None = None) -> None:
-        _save_layout(self, path, matrix)
+    def save(self, path, matrix: CSRMatrix | None = None,
+             config: tuple = ()) -> None:
+        _save_layout(self, path, matrix, config)
 
     @property
     def padded_nnz(self) -> int:
@@ -624,8 +635,9 @@ class RankedSlabs:
     def num_subtiles(self) -> int:
         return int(self.sub_b0.shape[0])
 
-    def save(self, path, matrix: CSRMatrix | None = None) -> None:
-        _save_layout(self, path, matrix)
+    def save(self, path, matrix: CSRMatrix | None = None,
+             config: tuple = ()) -> None:
+        _save_layout(self, path, matrix, config)
 
     @property
     def padded_nnz(self) -> int:

@@ -55,13 +55,18 @@ def read_csr_text(path, base: int | None = None) -> CSRMatrix:
     column range).
     """
     num = _read_numeric(path)
-    if num is not None:
+    if num is not None and num.shape[0] >= 3:
         m, n, nnz = int(num[0]), int(num[1]), int(num[2])
         need = 3 + (m + 1) + 2 * nnz
         if num.shape[0] < need:
-            raise ValueError(
-                f"{path}: expected {need} tokens, found {num.shape[0]}"
-            )
+            # np.fromfile stops silently at the first non-numeric token,
+            # so a short parse may mean exotic formatting (e.g. Fortran
+            # 1.5D0) rather than truncation — retry with the tokenizer,
+            # whose errors name the offending token.
+            num = None
+    else:
+        num = None
+    if num is not None:
         indptr = num[3 : 3 + m + 1].astype(np.int64)
         indices = num[3 + m + 1 : 3 + m + 1 + nnz].astype(np.int64)
         data = num[3 + m + 1 + nnz : need].astype(np.float32)
@@ -105,9 +110,11 @@ def read_csr2_text(path):
     (numCoarserRows m n nnz), the super-row pointer array, then CSR.
     """
     num = _read_numeric(path)
-    if num is None:
+    if num is None or num.shape[0] < 4:
         num = np.array(_read_tokens(path), dtype=np.float64)
     n_sup, m, n, nnz = (int(t) for t in num[:4])
+    if num.shape[0] < 4 + (n_sup + 1) + (m + 1) + 2 * nnz:
+        num = np.array(_read_tokens(path), dtype=np.float64)  # exotic tokens
     p = 4
     sup = num[p : p + n_sup + 1].astype(np.int64)
     p += n_sup + 1
@@ -142,9 +149,11 @@ def read_csr3_text(path):
     then the two super-row pointer arrays (0-based), then plain CSR arrays.
     """
     num = _read_numeric(path)
-    if num is None:
+    if num is None or num.shape[0] < 5:
         num = np.array(_read_tokens(path), dtype=np.float64)
     n_coarsest, n_coarser, m, n, nnz = (int(t) for t in num[:5])
+    if num.shape[0] < 5 + (n_coarsest + 1) + (n_coarser + 1) + (m + 1) + 2 * nnz:
+        num = np.array(_read_tokens(path), dtype=np.float64)  # exotic tokens
     p = 5
     coarsest = num[p : p + n_coarsest + 1].astype(np.int64)
     p += n_coarsest + 1

@@ -161,7 +161,24 @@ def main(argv=None):
 
     if args.weak:
         import csv as csvmod
+        import os
 
+        # Execute on a virtual CPU mesh (same pattern as the multichip
+        # dryrun): the schedule/traffic validation needs D devices, and
+        # this session has one real chip. Must win the platform race
+        # before any backend initializes, so --weak forces CPU.
+        want = max(args.devices, default=1)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={want}"
+            ).strip()
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already pinned; rows may report not-executed
         rows = weak_scaling(
             args.devices, base_rows=args.base_rows, band=args.band
         )

@@ -106,10 +106,17 @@ def main(argv=None):
     # while validation uses out_perm (rows).
     col_perm = ck.perm if pre_perm is None else pre_perm[ck.perm]
     out_perm = col_perm
+    # One planner pass serves sigma, the auto kernel choice, and the
+    # bin-width default (also under an explicit --kernel ranked).
+    kernel = args.kernel
+    bin_blocks = args.bin_blocks
     sigma = args.sigma
+    plan = None
+    if kernel == "auto" or sigma < 0 or (kernel == "ranked" and bin_blocks < 0):
+        plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
     if sigma < 0:
         # Planner-recommended sigma (>20% sub-tile cut on skewed rows).
-        sigma = tpu_plan(ck.matrix, assume_rcm=True).sigma
+        sigma = plan.sigma
         if sigma:
             print(f"planner recommends sigma={sigma}")
     if sigma:
@@ -123,25 +130,23 @@ def main(argv=None):
         out_perm = out_perm[sperm]
         print(f"sigma={sigma} row sort applied")
 
-    kernel = args.kernel
-    bin_blocks = args.bin_blocks
     if kernel == "auto":
-        plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
         kernel = plan.kernel
-        if bin_blocks < 0:
-            bin_blocks = plan.bin_blocks
         print(f"auto kernel: {kernel} ({plan.reason})")
     if bin_blocks < 0:
-        bin_blocks = 0
+        bin_blocks = plan.bin_blocks if (plan and kernel == "ranked") else 0
+        if bin_blocks:
+            print(f"planner bin width: W={bin_blocks} blocks")
 
     import pathlib
 
     def build_or_load(cls):
         cache = args.layout_cache
+        cfg = (bin_blocks, sigma, k)
         if cache and pathlib.Path(cache).exists():
             from tpu_spmv.formats.sell import load_layout
 
-            lay = load_layout(cache, matrix=ck.matrix)
+            lay = load_layout(cache, matrix=ck.matrix, config=cfg)
             if type(lay) is not cls:
                 raise SystemExit(
                     f"cached layout is {type(lay).__name__}, kernel wants "
@@ -151,7 +156,7 @@ def main(argv=None):
             return lay
         lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks)
         if cache:
-            lay.save(cache, matrix=ck.matrix)
+            lay.save(cache, matrix=ck.matrix, config=cfg)
             print(f"saved layout to {cache}")
         return lay
 

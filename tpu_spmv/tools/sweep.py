@@ -59,9 +59,16 @@ def _done_keys(path: pathlib.Path) -> set:
     if not path.exists():
         return set()
     with open(path) as f:
+        reader = csv.DictReader(f)
+        if reader.fieldnames and list(reader.fieldnames) != CSV_FIELDS:
+            raise SystemExit(
+                f"{path}: existing CSV header {reader.fieldnames} does not "
+                f"match the current schema {CSV_FIELDS}; resuming would "
+                "append misaligned rows — use a new --out file"
+            )
         return {
             (r["matrix"], r["kernel"], r["k"], r["srs"])
-            for r in csv.DictReader(f)
+            for r in reader
         }
 
 

@@ -122,13 +122,15 @@ _TRAFFIC_FLOOR = 1.7
 _BIN_WIDTHS = (1, 2, 4, 8, 16)
 
 
-def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
+def exact_rank_nb(mat, align: bool = True, slots=None) -> tuple[int, int]:
     """(chunk span, per-slot span) in x blocks, exact, O(nnz) NumPy.
 
     chunk span drives the plain SELL kernel's gather loop; per-slot span
     drives the rank-windowed kernel's. align=True measures the
     cluster-aligned slot assignment RankedSlabs actually builds
     (formats/sell._aligned_slots); False measures ordinal ranks.
+    slots: precomputed (ranks, kc) from _aligned_slots, to avoid a
+    duplicate clustering pass when the caller already built it.
     """
     from tpu_spmv.formats.sell import LANES, _aligned_slots
 
@@ -138,7 +140,7 @@ def exact_rank_nb(mat, align: bool = True) -> tuple[int, int]:
         return 1, 1
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
     if align:
-        ranks, kc_raw = _aligned_slots(mat)
+        ranks, kc_raw = slots if slots is not None else _aligned_slots(mat)
         maxlen = int(kc_raw.max())
     else:
         maxlen = int(lens.max())
@@ -281,8 +283,11 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         sampled, scale = _sample_chunks(mat)
         # Aligned rank span on the sample (the full _aligned_slots pass
         # is the layout build itself); the build recomputes the true
-        # global rank_nb, so this only steers the choice.
-        _, rank_nb = exact_rank_nb(sampled)
+        # global rank_nb, so this only steers the choice. The slots are
+        # shared with the s_ali sub-tile count below (one clustering
+        # pass, not two).
+        ali_slots = _aligned_slots(sampled)
+        _, rank_nb = exact_rank_nb(sampled, slots=ali_slots)
         est_nb, est_rank = float(chunk_nb), float(rank_nb)
 
         lens = sampled.row_lengths.astype(np.int64)
@@ -297,8 +302,7 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
                 f"plain gather loop over chunk span {est_nb:.0f} blocks",
             ))
 
-        _, kc_ali = _aligned_slots(sampled)
-        s_ali = _subtiles_from_kc(kc_ali) * scale
+        s_ali = _subtiles_from_kc(ali_slots[1]) * scale
         if est_rank <= 250:
             candidates.append((
                 s_ali * _ranked_subtile_cost(int(est_rank)), "ranked", 0,
