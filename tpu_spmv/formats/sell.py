@@ -702,13 +702,11 @@ class RankedSlabs:
             ).max(axis=2)
             hi_units = np.where(hi_units < 0, sub_base, hi_units)
             rank_nb0 = int((hi_units - sub_base).max()) + 1
-            # Mosaic compile time explodes on grouped kernels with more
-            # than one pair-step (measured: W=4/W=8 binned grouped never
-            # finished a remote compile; rank<=2 grouped compiles in
-            # seconds), so grouping only applies to 1-2-block windows —
-            # which is where its win was measured anyway.
-            if rank_nb0 > 2:
-                allow_groups = False
+            # (A rank>2 gate lived here briefly: multi-pair grouped
+            # kernels never finished compiling — but the culprit was the
+            # full-SMEM scalar-prefetch metadata, fixed by tile-blocked
+            # SMEM. Measured after the fix: W=8 grouped at 50k rows
+            # compiles in 5s and runs 15% faster than packed.)
         if allow_groups and S:
             # Merges may not widen the read extent: paired loads round
             # the budget to 2 blocks, except rank-1 layouts (binned W=1)
