@@ -126,14 +126,16 @@ def bench_spmv(
     )
 
 
-# HBM bandwidth ceiling used for roofline reporting. Spec for TPU v5e is
-# ~819 GB/s; the best measured stream on this chip (Pallas (512,128)
-# blocks) is ~642 GB/s.
-HBM_BYTES_PER_S = 819e9
+def roofline_nnzs(bytes_per_nnz: float, hbm_bytes_per_s: float | None = None) -> float:
+    """Max nnz/s if the kernel were purely HBM-bandwidth-bound.
 
+    The ceiling defaults to the running device's spec bandwidth
+    (tpu_spmv.hw; v5e = 819 GB/s — best measured stream on that chip is
+    ~642 GB/s, so spec-roofline percentages are conservative)."""
+    if hbm_bytes_per_s is None:
+        from tpu_spmv.hw import device_spec
 
-def roofline_nnzs(bytes_per_nnz: float, hbm_bytes_per_s: float = HBM_BYTES_PER_S) -> float:
-    """Max nnz/s if the kernel were purely HBM-bandwidth-bound."""
+        hbm_bytes_per_s = device_spec().hbm_bytes_per_s
     return hbm_bytes_per_s / bytes_per_nnz
 
 

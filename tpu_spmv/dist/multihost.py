@@ -58,17 +58,26 @@ def initialize(
         raise
 
 
-def make_hybrid_mesh(axis_hosts: str = "hosts", axis_rows: str = "rows"):
+def make_hybrid_mesh(
+    axis_hosts: str = "hosts",
+    axis_rows: str = "rows",
+    num_hosts: int | None = None,
+):
     """(hosts, rows) mesh: rows within a host slice (ICI), hosts over DCN.
 
-    Single-host (or simulated-CPU) setups get hosts=1. Row sharding uses
-    PartitionSpec((axis_hosts, axis_rows)) so the row axis spans both.
+    Single-host (or simulated-CPU) setups get hosts=1 by default;
+    num_hosts overrides the shape so single-process simulations (virtual
+    CPU devices) can exercise the exact (hosts, rows) schedule a pod
+    would compile. Row sharding uses PartitionSpec((axis_hosts,
+    axis_rows)) so the row axis spans both — see dist.sharding.
+    spmv_sharded's tuple-axis support.
     """
     import jax
     from jax.sharding import Mesh
 
     devices = np.asarray(jax.devices())
-    num_hosts = max(jax.process_count(), 1)
+    if num_hosts is None:
+        num_hosts = max(jax.process_count(), 1)
     per_host = devices.shape[0] // num_hosts
     mesh_devices = devices[: num_hosts * per_host].reshape(num_hosts, per_host)
     return Mesh(mesh_devices, (axis_hosts, axis_rows))

@@ -39,6 +39,16 @@ def make_row_mesh(devices=None, axis: str = "rows") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def mesh_axis_size(mesh: Mesh, axis) -> int:
+    """Total devices under `axis` (a name or tuple of names — the
+    multi-host case shards rows over the flattened ("hosts", "rows"))."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    size = 1
+    for name in names:
+        size *= mesh.shape[name]
+    return size
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -97,6 +107,33 @@ def _slice_shard_blocks(mat: CSRMatrix, n_devices: int, halo: str):
             )
         )
     return blocks, halo_rows, rows_per_shard
+
+
+def shard_layout(layout, mesh: Mesh, axis="rows"):
+    """Place a Sharded* layout's stacked arrays over `axis` (name or
+    tuple of names — the multi-host ("hosts", "rows") case).
+
+    Uses make_array_from_callback, which constructs only the process's
+    addressable shards, so the same call works single-process (simulated
+    meshes, single host) and multi-process (each process holds the full
+    host-side layout and contributes its local shards).
+    """
+    sh = NamedSharding(mesh, P(axis))
+    children, aux = layout.tree_flatten()
+    placed = []
+    for a in children:
+        h = np.asarray(a)
+        placed.append(
+            jax.make_array_from_callback(h.shape, sh, lambda idx, h=h: h[idx])
+        )
+    return type(layout).tree_unflatten(aux, tuple(placed))
+
+
+def shard_vector(vec, mesh: Mesh, axis="rows"):
+    """Row-shard a host vector over `axis` (process-safe, as above)."""
+    h = np.asarray(vec)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_callback(h.shape, sh, lambda idx: h[idx])
 
 
 def _padk(a, target, fill):
@@ -227,26 +264,10 @@ class ShardedSell:
             ),
         )
 
-    def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedSell":
-        """Place the stacked arrays with the leading dim sharded."""
-        sh = NamedSharding(mesh, P(axis))
-        put = lambda a: jax.device_put(a, sh)
-        return ShardedSell(
-            vals=put(self.vals),
-            cols=put(self.cols),
-            sub_b0=put(self.sub_b0),
-            sub_nb=put(self.sub_nb),
-            sub_chunk=put(self.sub_chunk),
-            m=self.m,
-            n=self.n,
-            nnz=self.nnz,
-            rows_per_shard=self.rows_per_shard,
-            num_chunks_local=self.num_chunks_local,
-            max_nb=self.max_nb,
-            n_devices=self.n_devices,
-            halo=self.halo,
-            chunk_q=self.chunk_q,
-        )
+    def device_put(self, mesh: Mesh, axis="rows") -> "ShardedSell":
+        """Place the stacked arrays with the leading dim sharded over
+        `axis` (name or tuple; process-safe via shard_layout)."""
+        return shard_layout(self, mesh, axis)
 
     @property
     def padded_m(self) -> int:
@@ -284,25 +305,32 @@ class ShardedRanked:
     chunk_q: int = 0
     win_w: int = 0
     tile_k: int = 512
+    # Shared grouped windows (one static group partition across ALL
+    # shards — see build); grp_b0 is (D, S*G) sub-tile-major like the
+    # single-chip layout, group_code == 0 disables grouping.
+    grp_b0: jax.Array = None
+    group_code: int = 0
 
     def tree_flatten(self):
         children = (
             self.vals, self.lcols, self.sub_b0, self.sub_dlo, self.sub_dhi,
-            self.sub_chunk, self.tile_b0,
+            self.sub_chunk, self.tile_b0, self.grp_b0,
         )
         aux = (
             self.m, self.n, self.nnz, self.rows_per_shard,
             self.num_chunks_local, self.rank_nb, self.n_devices, self.halo,
-            self.chunk_q, self.win_w, self.tile_k,
+            self.chunk_q, self.win_w, self.tile_k, self.group_code,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:7], *aux[:11], grp_b0=children[7],
+                   group_code=aux[11])
 
     def _local_layout_struct(
-        self, vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk, tile_b0
+        self, vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk, tile_b0,
+        grp_b0,
     ) -> RankedSlabs:
         local_n = (
             self.rows_per_shard + 2 * self.halo if self.halo else self.n
@@ -323,6 +351,8 @@ class ShardedRanked:
             chunk_q=self.chunk_q,
             win_w=self.win_w,
             tile_k=self.tile_k,
+            grp_b0=grp_b0,
+            group_code=self.group_code,
         )
 
     @classmethod
@@ -334,15 +364,38 @@ class ShardedRanked:
         blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
             mat, n_devices, halo
         )
-        # allow_groups=False: shards must share one static kernel, and
-        # per-shard group partitions generally differ; the packed-delta
-        # encoding is shard-uniform.
-        shards = [
-            RankedSlabs.from_csr(
-                block, bin_blocks=bin_blocks, allow_groups=False
-            )
-            for block in blocks
-        ]
+        # Grouped windows across shards: every shard must run the SAME
+        # static grouped kernel, so shard 0's greedy partition becomes
+        # the global group_plan and the other shards are built against
+        # it (RankedSlabs.from_csr validates the read-extent budget).
+        # Any shard that cannot honor the plan drops the whole stack to
+        # the packed-delta encoding (shard-uniform by construction).
+        # This recovers the 15-28% grouped-kernel win the r2 flagship
+        # gave up (docs/PERF_NOTES.md grouped-window section).
+        shards = [RankedSlabs.from_csr(blocks[0], bin_blocks=bin_blocks)]
+        plan = shards[0].group_members if shards[0].group_code else None
+        # Budget from the planning shard's paired-load extent: the
+        # stacked kernel runs at the max rank over shards, so siblings
+        # validate against shard 0's budget, not their own (a tail
+        # shard's locally narrower rank must not reject the plan).
+        r0 = shards[0].rank_nb
+        budget = 1 if r0 == 1 else 2 * max((r0 + 1) // 2, 1)
+        try:
+            for block in blocks[1:]:
+                shards.append(
+                    RankedSlabs.from_csr(
+                        block, bin_blocks=bin_blocks,
+                        allow_groups=False, group_plan=plan,
+                        group_plan_budget=budget,
+                    )
+                )
+        except ValueError:
+            shards = [
+                RankedSlabs.from_csr(
+                    block, bin_blocks=bin_blocks, allow_groups=False
+                )
+                for block in blocks
+            ]
 
         total_k = max(int(s.vals.shape[0]) for s in shards)
         S = max(s.num_subtiles for s in shards)
@@ -371,6 +424,17 @@ class ShardedRanked:
             [padk(s.sub_chunk, S, num_chunks_local) for s in shards]
         )
         tile_b0 = np.stack([padk(s.tile_b0, T, 0) for s in shards])
+        group_code = shards[0].group_code
+        if group_code:
+            # (S, G) sub-tile-major per shard; padding sub-tiles read
+            # block 0 (in-bounds, vals are 0 -> inert).
+            G = max(shards[0].groups) + 1
+            grp_b0 = np.stack([
+                padk(np.asarray(s.grp_b0).reshape(-1, G), S, 0).reshape(-1)
+                for s in shards
+            ])
+        else:
+            grp_b0 = np.zeros((len(shards), 0), np.int32)
         return cls(
             vals=jnp.asarray(vals),
             lcols=jnp.asarray(lcols),
@@ -399,23 +463,27 @@ class ShardedRanked:
             ),
             win_w=win_w,
             tile_k=tile_k,
+            grp_b0=jnp.asarray(grp_b0),
+            group_code=group_code,
         )
 
-    def device_put(self, mesh: Mesh, axis: str = "rows") -> "ShardedRanked":
-        sh = NamedSharding(mesh, P(axis))
-        children, aux = self.tree_flatten()
-        return ShardedRanked.tree_unflatten(
-            aux, tuple(jax.device_put(a, sh) for a in children)
-        )
+    def device_put(self, mesh: Mesh, axis="rows") -> "ShardedRanked":
+        return shard_layout(self, mesh, axis)
 
     @property
     def padded_m(self) -> int:
         return self.rows_per_shard * self.n_devices
 
 
-def _exchange_x(layout, x_shard, axis: str):
+def _exchange_x(layout, x_shard, axis):
     """Collect each shard's x window: neighbor ppermute halo when the
-    structure allows, tiled all-gather otherwise (see module docstring)."""
+    structure allows, tiled all-gather otherwise (see module docstring).
+
+    axis may be a tuple of mesh axis names — JAX collectives treat it as
+    one flattened logical axis (row-major over the tuple), so the same
+    neighbor pairs cross the host (DCN) boundary in a hybrid
+    ("hosts", "rows") mesh; only the two boundary shards of each host
+    slice put halo bytes on DCN."""
     D = layout.n_devices
     H = layout.halo
     if H:
@@ -433,7 +501,7 @@ def spmv_sharded(
     layout,
     x: jax.Array,
     mesh: Mesh,
-    axis: str = "rows",
+    axis="rows",
     interpret: bool | None = None,
 ):
     """y = A @ x, rows sharded over `axis`; x arrives row-sharded.
@@ -441,26 +509,38 @@ def spmv_sharded(
     layout: ShardedSell or ShardedRanked (the flagship).
     x: (padded_m,) float32 sharded P(axis) (square matrices: padded with
     zeros beyond n). Returns y (padded_m,) sharded P(axis).
+    axis: mesh axis name, or a TUPLE of names for the multi-host hybrid
+    mesh (rows sharded over the flattened ("hosts", "rows"): within-host
+    neighbor halos ride ICI, the one host-boundary pair crosses DCN).
+    The layout must have been built with n_devices == the product of
+    the named axis sizes.
     interpret: force Pallas interpreter mode; None auto-selects it on the
     CPU backend (used by the simulated-mesh tests and multichip dry runs).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    D_mesh = mesh_axis_size(mesh, axis)
+    if D_mesh != layout.n_devices:
+        raise ValueError(
+            f"layout was built for {layout.n_devices} shards but axis "
+            f"{axis!r} spans {D_mesh} devices"
+        )
 
     if isinstance(layout, ShardedRanked):
 
         def local(vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk,
-                  tile_b0, x_shard):
+                  tile_b0, grp_b0, x_shard):
             x_in = _exchange_x(layout, x_shard, axis)
             local_layout = layout._local_layout_struct(
                 vals[0], lcols[0], sub_b0[0], sub_dlo[0], sub_dhi[0],
-                sub_chunk[0], tile_b0[0],
+                sub_chunk[0], tile_b0[0], grp_b0[0],
             )
             return spmv_ranked(local_layout, x_in, interpret=interpret)[None]
 
         operands = (
             layout.vals, layout.lcols, layout.sub_b0, layout.sub_dlo,
-            layout.sub_dhi, layout.sub_chunk, layout.tile_b0, x,
+            layout.sub_dhi, layout.sub_chunk, layout.tile_b0,
+            layout.grp_b0, x,
         )
     else:
 

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_spmv.dist.sharding import ShardedRanked, ShardedSell, spmv_sharded  # noqa: F401
 
 
-def cg_step(layout, mesh: Mesh, state, axis: str = "rows"):
+def cg_step(layout, mesh: Mesh, state, axis="rows"):
     # layout: ShardedSell or ShardedRanked (the flagship).
     """One CG iteration; all vectors row-sharded over `axis`."""
     x, r, p, rz = state
@@ -37,15 +37,18 @@ def cg_solve(
     b: jax.Array,
     mesh: Mesh,
     iters: int = 50,
-    axis: str = "rows",
+    axis="rows",
 ):
     """Solve A x = b (A SPD) with `iters` fixed CG iterations.
 
     b: (padded_m,) row-sharded; returns (x, final residual norm^2).
     """
 
+    # layout rides as a jit ARGUMENT (it is a registered pytree):
+    # closing over it would bake device arrays into the jaxpr, which is
+    # rejected outright for multi-process (non-addressable) shardings.
     @partial(jax.jit, static_argnames=("iters",))
-    def run(b, iters):
+    def run(layout, b, iters):
         x0 = jnp.zeros_like(b)
         r0 = b
         state = (x0, r0, r0, jnp.vdot(r0, r0))
@@ -54,7 +57,7 @@ def cg_solve(
         )
         return state[0], state[3]
 
-    return run(b, iters)
+    return run(layout, b, iters)
 
 
 def pcg_solve(
@@ -63,14 +66,14 @@ def pcg_solve(
     mesh: Mesh,
     inv_diag: jax.Array,
     iters: int = 50,
-    axis: str = "rows",
+    axis="rows",
 ):
     """Jacobi-preconditioned CG: M = diag(A)^-1 applied row-locally (no
     extra communication — the preconditioner is elementwise on the
     row-sharded vectors). inv_diag: (padded_m,) row-sharded, zeros on
     padding rows. Returns (x, final r.z)."""
 
-    def step(state):
+    def step(layout, inv_diag, state):
         x, r, p, rz = state
         Ap = spmv_sharded(layout, p, mesh, axis)
         pAp = jnp.vdot(p, Ap)
@@ -84,11 +87,13 @@ def pcg_solve(
         return (x, r, p, rz_new)
 
     @partial(jax.jit, static_argnames=("iters",))
-    def run(b, iters):
+    def run(layout, b, inv_diag, iters):
         x0 = jnp.zeros_like(b)
         z0 = b * inv_diag
         state = (x0, b, z0, jnp.vdot(b, z0))
-        state = jax.lax.fori_loop(0, iters, lambda i, s: step(s), state)
+        state = jax.lax.fori_loop(
+            0, iters, lambda i, s: step(layout, inv_diag, s), state
+        )
         return state[0], state[3]
 
-    return run(b, iters)
+    return run(layout, b, inv_diag, iters)

@@ -656,11 +656,34 @@ class RankedSlabs:
             + self.num_subtiles * LANES * 4
         )
 
+    @property
+    def group_members(self) -> tuple:
+        """Group partition as member tuples ((sublanes of g0), ...) —
+        the `group_plan` format from_csr accepts, so one layout's
+        partition can be applied to sibling shard layouts."""
+        g = self.groups
+        G = max(g) + 1
+        return tuple(
+            tuple(r for r in range(SUBLANES) if g[r] == gi) for gi in range(G)
+        )
+
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 2048, align: bool = True,
         bin_blocks: int = 0, allow_groups: bool = True,
+        group_plan: tuple | None = None,
+        group_plan_budget: int | None = None,
     ) -> "RankedSlabs":
+        """group_plan: an externally fixed group partition (tuple of
+        sublane-member tuples) applied instead of the greedy merge —
+        used by dist.ShardedRanked so every shard runs the SAME static
+        grouped kernel; raises ValueError when this matrix's windows
+        cannot honor the plan within the read-extent budget.
+        group_plan_budget: read-extent budget (x blocks) to validate the
+        plan against — the PLANNING shard's paired-load budget, which may
+        exceed this shard's own (the stacked kernel runs at the global
+        rank_nb, so a tail shard with a locally narrower rank must not
+        reject the shared plan)."""
         base = SellSlabs.from_csr(
             mat, tile_k=tile_k, align=align, bin_blocks=bin_blocks
         )
@@ -696,7 +719,8 @@ class RankedSlabs:
         # loop shape is unchanged.
         group_code = 0
         grp_b0 = np.zeros(0, np.int32)
-        if allow_groups and S:
+        want_groups = (allow_groups or group_plan is not None) and S
+        if want_groups:
             hi_units = np.where(real, units, -1).reshape(
                 S, SUBLANES, LANES
             ).max(axis=2)
@@ -707,29 +731,53 @@ class RankedSlabs:
             # full-SMEM scalar-prefetch metadata, fixed by tile-blocked
             # SMEM. Measured after the fix: W=8 grouped at 50k rows
             # compiles in 5s and runs 15% faster than packed.)
-        if allow_groups and S:
+        if want_groups:
             # Merges may not widen the read extent: paired loads round
             # the budget to 2 blocks, except rank-1 layouts (binned W=1)
             # whose single-row-load fast path must survive, so only
             # exactly-coincident windows merge there.
             target = 1 if rank_nb0 == 1 else 2 * max((rank_nb0 + 1) // 2, 1)
-            med = np.median(
-                sub_base - sub_base.min(axis=1, keepdims=True), axis=0
-            )
-            order = np.argsort(med, kind="stable")
-            members = [[int(order[0])]]
-            glo = sub_base[:, order[0]].copy()
-            ghi = hi_units[:, order[0]].copy()
-            for r in order[1:]:
-                nlo = np.minimum(glo, sub_base[:, r])
-                nhi = np.maximum(ghi, hi_units[:, r])
-                if int((nhi - nlo).max()) < target:
-                    members[-1].append(int(r))
-                    glo, ghi = nlo, nhi
-                else:
-                    members.append([int(r)])
-                    glo = sub_base[:, r].copy()
-                    ghi = hi_units[:, r].copy()
+            if group_plan is not None:
+                members = [list(mem) for mem in group_plan]
+                covered = sorted(r for mem in members for r in mem)
+                if covered != list(range(SUBLANES)):
+                    raise ValueError(
+                        f"group_plan {group_plan} is not a partition of "
+                        f"the {SUBLANES} sublanes"
+                    )
+                budget = (
+                    group_plan_budget if group_plan_budget is not None
+                    else target
+                )
+                for mem in members:
+                    ext = int(
+                        (hi_units[:, mem].max(axis=1)
+                         - sub_base[:, mem].min(axis=1)).max()
+                    )
+                    if ext >= budget:
+                        raise ValueError(
+                            f"group_plan member {tuple(mem)} spans {ext + 1} "
+                            f"blocks, past the {budget}-block read budget "
+                            "for this shard"
+                        )
+            else:
+                med = np.median(
+                    sub_base - sub_base.min(axis=1, keepdims=True), axis=0
+                )
+                order = np.argsort(med, kind="stable")
+                members = [[int(order[0])]]
+                glo = sub_base[:, order[0]].copy()
+                ghi = hi_units[:, order[0]].copy()
+                for r in order[1:]:
+                    nlo = np.minimum(glo, sub_base[:, r])
+                    nhi = np.maximum(ghi, hi_units[:, r])
+                    if int((nhi - nlo).max()) < target:
+                        members[-1].append(int(r))
+                        glo, ghi = nlo, nhi
+                    else:
+                        members.append([int(r)])
+                        glo = sub_base[:, r].copy()
+                        ghi = hi_units[:, r].copy()
             G = len(members)
             gb = np.empty_like(sub_base)
             gmat = np.empty((G, S), np.int64)

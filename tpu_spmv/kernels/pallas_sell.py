@@ -42,8 +42,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Per-core VMEM on TPU v5e; the resident kernels keep x fully in VMEM.
-VMEM_BYTES = 128 * 2**20
+def VMEM_BYTES() -> int:
+    """Per-core VMEM of the running device (the resident kernels keep x
+    fully in VMEM); resolved from device_kind, v5e fallback."""
+    from tpu_spmv.hw import device_spec
+
+    return device_spec().vmem_bytes
 
 
 def _meta_block(per_tile: int) -> tuple:
@@ -87,7 +91,7 @@ def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
     tile_k = getattr(layout, "tile_k", 512) or 512
     tiles = 2 * tile_k * LANES * (4 + lcol_bytes)
     partials = 2 * (tile_k // SUBLANES) * LANES * 4
-    return 4 * n_pad + tiles + partials <= budget_frac * VMEM_BYTES
+    return 4 * n_pad + tiles + partials <= budget_frac * VMEM_BYTES()
 
 
 def _reduce_partials(partials, layout):

@@ -62,11 +62,14 @@ def report(mat, n_devices: int) -> dict:
     }
 
 
-# Model constants for the efficiency projection (documented estimates
-# for TPU v5e): sustained single-chip SpMV rate measured by bench.py,
-# and a conservative per-link ICI neighbor-exchange bandwidth.
-SINGLE_CHIP_NNZS = 48e9
-ICI_BYTES_PER_S = 45e9
+def _model_rates() -> tuple[float, float]:
+    """(single-chip nnz/s, ICI B/s) for the efficiency projection,
+    resolved per device_kind (tpu_spmv.hw). The v5e row reproduces the
+    r2 estimates: 48e9 nnz/s (bench.py-measured) and 45e9 B/s."""
+    from tpu_spmv.hw import device_spec
+
+    s = device_spec()
+    return s.single_chip_nnzs, s.ici_bytes_per_s
 
 
 def weak_scaling(
@@ -102,8 +105,9 @@ def weak_scaling(
             mat.n * (d - 1) / max(d, 1) * 4
         )
         local_nnz = mat.nnz / d
-        t_comp = local_nnz / SINGLE_CHIP_NNZS
-        t_comm = exchange_bytes / ICI_BYTES_PER_S if d > 1 else 0.0
+        chip_nnzs, ici_bs = _model_rates()
+        t_comp = local_nnz / chip_nnzs
+        t_comm = exchange_bytes / ici_bs if d > 1 else 0.0
         row = {
             "devices": d,
             "rows": mat.m,
