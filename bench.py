@@ -46,8 +46,15 @@ def main():
 
     plan = tpu_plan(mat, assume_rcm=True)
     if plan.kernel == "ranked":
-        layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
-        fn = spmv_ranked
+        try:
+            layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
+            fn = spmv_ranked
+        except ValueError:
+            # Packed-delta span exceeded (the plan estimates rank on a
+            # sampled sub-matrix, so a global outlier can slip past it,
+            # ADVICE r2): same sell fallback as tools/spmv.py.
+            layout = SellSlabs.from_csr(mat)
+            fn = spmv_sell
     else:
         layout = SellSlabs.from_csr(mat)
         fn = spmv_sell

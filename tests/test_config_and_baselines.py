@@ -88,11 +88,30 @@ def test_exact_rank_nb_banded_vs_general():
 
 def test_tpu_plan_kernel_choice():
     assert tpu_plan(laplacian_2d(16)).kernel == "sell"  # tiny span
-    # Wide-band STENCIL (natural order, band 2048): ranks cluster tightly
-    # while the chunk span covers the whole band -> rank windows win.
+    # Wide-band STENCIL (natural order, band 2048): constant diagonals
+    # -> the index-free DIA kernel wins outright (round 3).
     stencil = laplacian_2d(8, 2048)
     plan = tpu_plan(stencil, assume_rcm=True)
-    assert plan.kernel == "ranked", (plan.est_max_nb, plan.est_rank_nb)
+    assert plan.kernel == "dia", (plan.kernel, plan.reason)
+    # Same band structure but offsets jittered per row: hundreds of
+    # distinct diagonals (DIA inadmissible), yet the k-th nonzeros of
+    # neighboring rows still cluster -> aligned rank windows win.
+    import numpy as np
+
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    full = laplacian_2d(8, 2048)
+    rng = np.random.default_rng(7)
+    rows = np.repeat(
+        np.arange(full.m, dtype=np.int64), full.row_lengths
+    )
+    jitter = rng.integers(-8, 9, full.nnz)
+    cols = np.clip(full.indices.astype(np.int64) + jitter, 0, full.n - 1)
+    broken = CSRMatrix.from_coo(
+        rows, cols, np.ones(full.nnz, np.float32), full.shape
+    )
+    plan = tpu_plan(broken, assume_rcm=True)
+    assert plan.kernel == "ranked", (plan.kernel, plan.reason)
     assert plan.bin_blocks == 0  # aligned windows, not binned
     # Random-within-band: no rank clustering -> binned windows beat the
     # wide plain-kernel span loop.

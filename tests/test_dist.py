@@ -121,7 +121,7 @@ def test_sharded_ranked_binned_scattered():
     from tpu_spmv.dist.sharding import ShardedRanked
 
     mesh = _mesh_or_skip(4)
-    mat = random_general(3000, 8, seed=5)
+    mat = random_general(1200, 8, seed=5)
     lay = ShardedRanked.build(mat, 4, bin_blocks=4).device_put(mesh)
     assert lay.rank_nb <= 4
     x = np.random.default_rng(2).standard_normal(mat.n).astype(np.float32)

@@ -56,7 +56,7 @@ def test_spmm_on_binned_layout():
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.spmm import spmm_ranked
 
-    mat = random_general(1500, 8, seed=4)
+    mat = random_general(500, 8, seed=4)
     lay = RankedSlabs.from_csr(mat, bin_blocks=4, allow_groups=False)
     rng = np.random.default_rng(0)
     X = rng.standard_normal((mat.n, 4)).astype(np.float32)

@@ -149,6 +149,66 @@ def test_aligned_slots_parity(monkeypatch):
         np.testing.assert_array_equal(slots_c, slots_py)
 
 
+def test_binned_slots_parity(monkeypatch):
+    """Native column-binned slots (incl. the packed-delta repair) must
+    match the NumPy implementation exactly (VERDICT r2 #7: the Python
+    per-entry repair loop crawled on adversarial scattered chunks)."""
+    import tpu_spmv.formats.sell as sellmod
+    from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
+    from tpu_spmv.reorder import native
+
+    if not native.available():
+        pytest.skip(f"native core unavailable: {native.load_error()}")
+    # Adversarial: sparse rows with far-scattered columns pack distant
+    # bins into one 8-slot group -> every chunk is a repair suspect (the
+    # STS scattered-dependency shape).
+    rng = np.random.default_rng(9)
+    m_adv, n_adv, k_adv = 1024, 2_000_000, 3
+    cols = np.sort(
+        rng.integers(0, n_adv, (m_adv, k_adv), dtype=np.int64), axis=1
+    )
+    indptr = np.arange(m_adv + 1, dtype=np.int64) * k_adv
+    adversarial = CSRMatrix(
+        indptr.astype(np.int32) if indptr[-1] < 2**31 else indptr,
+        cols.reshape(-1).astype(np.int32),
+        np.ones(m_adv * k_adv, np.float32),
+        (m_adv, n_adv),
+    )
+    mats = [
+        laplacian_2d(40),
+        random_banded(1500, 300, 8, seed=1),
+        random_general(2000, 8, seed=2),
+        adversarial,
+    ]
+    for mat in mats:
+        for w in (1, 4, 16):
+            slots_c, kc_c = native.binned_slots(mat.indptr, mat.indices, w)
+            with monkeypatch.context() as mp:
+                mp.setattr(native, "available", lambda: False)
+                slots_py, kc_py = sellmod._binned_slots(mat, w)
+            np.testing.assert_array_equal(kc_c, kc_py, err_msg=f"W={w}")
+            np.testing.assert_array_equal(slots_c, slots_py, err_msg=f"W={w}")
+
+
+def test_binned_slots_scales():
+    """1M-row scattered matrix with (near-)all chunks suspect builds in
+    seconds on the native path (VERDICT r2 #7 done-criterion)."""
+    import time
+
+    from tpu_spmv.bench.matrices import random_general
+    from tpu_spmv.reorder import native
+
+    if not native.available():
+        pytest.skip(f"native core unavailable: {native.load_error()}")
+    mat = random_general(1_000_000, 6, seed=3)
+    t0 = time.perf_counter()
+    slots, kc = native.binned_slots(mat.indptr, mat.indices, 4)
+    dt = time.perf_counter() - t0
+    assert slots.shape[0] == mat.nnz
+    assert kc.shape[0] == -(-mat.m // 128)
+    assert dt < 2.0, f"native binned slots took {dt:.2f}s"
+
+
 def test_maximal_matching_parity(monkeypatch):
     """Native matching must be bit-identical to the NumPy loop for every
     mode (VERDICT r1 missing #5: the Python loop was scale-unusable)."""

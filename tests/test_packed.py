@@ -1,0 +1,73 @@
+"""Packed mixed-height layout + kernel (formats/packed.py).
+
+The sublane-quantum padding (8/avg_row_len, 1.60x on the flagship
+class) is removed by stacking chunk slabs back-to-back; correctness
+rides the in-kernel 3-way segmented reduce and the cross-tile carry.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_spmv.bench.matrices import laplacian_2d, random_banded
+from tpu_spmv.formats.packed import PackedRanked
+from tpu_spmv.kernels.packed import spmv_packed
+
+
+def _rel(a, b):
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+def test_packed_matches_oracle():
+    for mat in (
+        laplacian_2d(16),
+        laplacian_2d(40),
+        random_banded(640, 40, 8, seed=4),
+        random_banded(500, 60, 5, seed=1),  # skewed heights
+    ):
+        lay = PackedRanked.from_csr(mat)
+        x = np.random.default_rng(0).standard_normal(mat.n).astype(
+            np.float32
+        )
+        y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+        assert _rel(y, mat.matvec(x)) < 1e-6, mat.shape
+
+
+def test_packed_carry_crosses_tiles():
+    """Chunks spanning grid-tile boundaries: the VMEM carry register
+    must survive sequential grid steps (multi-tile layout)."""
+    mat = laplacian_2d(150)  # ~22.5k rows -> several 512-sublane tiles
+    lay = PackedRanked.from_csr(mat, tile_k=512)
+    assert int(lay.vals.shape[0]) // lay.tile_k >= 2
+    x = np.random.default_rng(1).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_packed_removes_quantum_padding():
+    """On the flagship class (RCM-banded, ~5 nnz/row) the packed layout
+    must hold padding near 1.0x where the quantized layout pays ~1.6x
+    (VERDICT r2 weak #2: the 8-sublane quantum was the whole gap)."""
+    from tpu_spmv.formats.sell import RankedSlabs
+
+    # Large enough that the 512-sublane tile quantum is noise (~131k
+    # rows); layout build only, no kernel run.
+    mat = laplacian_2d(362)
+    packed = PackedRanked.from_csr(mat)
+    quant = RankedSlabs.from_csr(mat)
+    assert packed.padding_ratio < 1.2
+    assert quant.padding_ratio > 1.5
+    assert packed.hbm_bytes < 0.85 * quant.hbm_bytes
+
+
+def test_packed_two_ends_per_subtile():
+    """Mixed sub-tiles holding two chunk completions (kc=4 chains) are
+    segmented correctly."""
+    # 3 nnz/row -> kc_raw ~3-4 -> MIN_KC=4 extents chain 2 ends per
+    # sub-tile regularly.
+    mat = random_banded(2000, 20, 3, seed=7)
+    lay = PackedRanked.from_csr(mat)
+    bmeta = np.asarray(lay.bmeta)
+    assert (bmeta >> 8).max() == 2  # the shape this test exists for
+    x = np.random.default_rng(2).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.matvec(x)) < 1e-6

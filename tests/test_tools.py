@@ -217,7 +217,10 @@ def test_sweep_accepts_file_inputs(tmp_path, capsys):
     ])
     assert rc == 0
     rows = list(csv.DictReader(open(out)))
-    assert rows and rows[0]["matrix"] == "fem496.mtx"
+    # Matrix keys are parent-qualified so norm/a.csr and rcm/a.csr from
+    # one sweep stay distinct in the CSV and on resume (ADVICE r2).
+    assert rows and rows[0]["matrix"].endswith("fem496.mtx")
+    assert "/" in rows[0]["matrix"]
     assert int(rows[0]["num_wrong"]) == 0
 
 
@@ -227,11 +230,11 @@ def test_weak_scaling_harness():
     mesh (BASELINE.md >=70% weak-scaling target's schedule check)."""
     from tpu_spmv.tools.scaling import weak_scaling
 
-    rows = weak_scaling([1, 2, 4, 8], base_rows=1024, band=48)
+    rows = weak_scaling([1, 2, 4], base_rows=1024, band=48)
     halo_bytes = [r["ici_bytes_per_dev"] for r in rows if r["devices"] > 1]
     assert len(set(halo_bytes)) == 1  # constant per device, not O(n)
-    n8 = rows[-1]["rows"]
-    assert halo_bytes[0] < 4 * n8 / 8  # far below the all-gather bound
+    n_top = rows[-1]["rows"]
+    assert halo_bytes[0] < 4 * n_top / 4  # far below the all-gather bound
     for r in rows:
         if r["devices"] > 1:
             assert r["halo_rows"] > 0

@@ -112,15 +112,22 @@ def bench_spmv(
         )
     dreps = reps_hi - reps_lo
     # Per-sample slope spread (the reference's TimeMin/Max/Avg semantics,
-    # spmv-csrk/spmv.cpp:168-191): pair each hi sample with the best lo.
-    base = min(ts_lo)
-    slopes = [max((t - base) / dreps, 1e-9) for t in ts_hi]
+    # spmv-csrk/spmv.cpp:168-191): time_min pairs the two sample minima
+    # (robust to one-sided fetch jitter), while the spread pairs hi
+    # sample i with lo sample i — pairing every hi with the single best
+    # lo attributed all lo-side jitter to the hi samples and biased
+    # time_max/avg upward (ADVICE r2).
+    t_min = max((min(ts_hi) - min(ts_lo)) / dreps, 1e-9)
+    slopes = [
+        max((th - tl) / dreps, 1e-9) for th, tl in zip(ts_hi, ts_lo)
+    ]
     if nnz is None:
         nnz = getattr(layout, "nnz")
+    t_avg = max(sum(slopes) / len(slopes), t_min)
     return BenchResult(
-        time_min=min(slopes),
-        time_max=max(slopes),
-        time_avg=sum(slopes) / len(slopes),
+        time_min=t_min,
+        time_max=max(max(slopes), t_avg),
+        time_avg=t_avg,
         nnz=nnz,
         iters=(reps_lo, reps_hi, samples),
     )

@@ -1,0 +1,144 @@
+"""DIA (diagonal-offset) layout for stencil-structured matrices.
+
+The reference dispatches among formats by structure (CSR / CSR-2 / CSR-3
+via reformat-auto's density models, AVX-512 lt4/gt4 kernels by row
+density — spmv-csrk/main.c, reformat-csr-to-csr3/main-auto.c); this is
+the TPU analog for the grid-stencil end of its benchmark set (ecology1,
+G3_circuit, thermal2-class matrices ARE 2D/3D grid problems,
+helpers/params.txt).
+
+When every nonzero lies on one of D << m constant diagonals
+(col - row = off_k), storing the matrix as D dense diagonals removes the
+column indices entirely (4 B/nnz vs 6+ for val+lcol slabs) and turns the
+kernel's per-lane gather into D static lane-rotations of a VMEM-resident
+x — no per-sub-tile metadata, no padding beyond the diagonal ends, no
+partials epilogue. y is written exactly once.
+
+Layout: vals[k, b, l] = A[row, row + off_k] for row = b*128 + l (zero
+where the diagonal exits the matrix or row >= m). The row dimension is
+blocked (lanes-major) to match the (8, 128) VREG tiling and the kernel's
+(rows_per_tile, 128) grid blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_spmv.formats.csr import CSRMatrix
+from tpu_spmv.formats.sell import LANES, SUBLANES
+
+# Planner/layout admission: more distinct diagonals than this, or more
+# fill than DIA_MAX_FILL, and the slab formats win (their traffic is
+# O(nnz), DIA's is O(D * m)).
+DIA_MAX_DIAGS = 40
+DIA_MAX_FILL = 1.6
+
+
+def diagonal_profile(mat: CSRMatrix, sample_rows: int = 0):
+    """(num_diagonals, fill) of the matrix's diagonal structure.
+
+    fill = D * m / nnz is the traffic ratio DIA pays vs ideal CSR vals.
+    sample_rows > 0 estimates D from that many evenly spaced rows (the
+    planner's cheap probe); 0 scans every nonzero (exact, O(nnz)).
+    """
+    if mat.nnz == 0 or mat.m != mat.n:
+        return np.iinfo(np.int32).max, float("inf")
+    if sample_rows and mat.m > sample_rows:
+        step = mat.m // sample_rows
+        rows = np.arange(0, mat.m, step, dtype=np.int64)
+        parts = []
+        for r in rows:
+            lo, hi = int(mat.indptr[r]), int(mat.indptr[r + 1])
+            parts.append(mat.indices[lo:hi].astype(np.int64) - r)
+        offs = np.unique(np.concatenate(parts)) if parts else np.zeros(0)
+    else:
+        rows = np.repeat(
+            np.arange(mat.m, dtype=np.int64), mat.row_lengths
+        )
+        offs = np.unique(mat.indices.astype(np.int64) - rows)
+    d = int(offs.size)
+    return d, d * mat.m / max(mat.nnz, 1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiaSlabs:
+    """D dense diagonals over 128-lane row blocks (see module doc)."""
+
+    vals: jax.Array  # (D, num_blocks, 128) float32
+    offsets: tuple  # D static diagonal offsets (col - row), ascending
+    m: int
+    n: int
+    nnz: int
+    rows_per_tile: int  # kernel grid block height (multiple of 1024)
+
+    def tree_flatten(self):
+        return (self.vals,), (
+            self.offsets, self.m, self.n, self.nnz, self.rows_per_tile,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def num_diagonals(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.vals.size / max(self.nnz, 1)
+
+    @property
+    def hbm_bytes(self) -> int:
+        # Diagonal values + x read once + y written once.
+        return 4 * (self.vals.size + self.n + self.m)
+
+    @classmethod
+    def from_csr(
+        cls,
+        mat: CSRMatrix,
+        max_diags: int = DIA_MAX_DIAGS,
+        max_fill: float = DIA_MAX_FILL,
+        rows_per_tile: int = 8192,
+    ) -> "DiaSlabs":
+        """Build the diagonal layout; raises ValueError when the matrix
+        is not diagonal-structured enough (the planner's probe should
+        normally have filtered it first)."""
+        if mat.m != mat.n:
+            raise ValueError("DIA layout requires a square matrix")
+        m = mat.m
+        rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
+        offs_all = mat.indices.astype(np.int64) - rows
+        offsets, inverse = np.unique(offs_all, return_inverse=True)
+        d = int(offsets.size)
+        if d > max_diags:
+            raise ValueError(
+                f"{d} distinct diagonals exceeds max_diags={max_diags}"
+            )
+        fill = d * m / max(mat.nnz, 1)
+        if fill > max_fill:
+            raise ValueError(
+                f"DIA fill {fill:.2f}x exceeds max_fill={max_fill}"
+            )
+        rpt = max(rows_per_tile - rows_per_tile % (SUBLANES * LANES), 1024)
+        nb = max(-(-m // LANES), 1)
+        nb_pad = -(-nb // (rpt // LANES)) * (rpt // LANES)
+        vals = np.zeros((d, nb_pad * LANES), np.float32)
+        vals[inverse, rows] = mat.data
+        return cls(
+            vals=jnp.asarray(vals.reshape(d, nb_pad, LANES)),
+            offsets=tuple(int(o) for o in offsets),
+            m=m,
+            n=mat.n,
+            nnz=mat.nnz,
+            rows_per_tile=rpt,
+        )

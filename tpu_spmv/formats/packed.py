@@ -1,0 +1,232 @@
+"""Packed rank-windowed SELL layout: mixed-height slabs, no sublane
+quantum.
+
+The r1/r2 layouts quantize every 128-row chunk's slab height to 8
+sublanes (one VREG) so each (8, 128) sub-tile belongs to exactly one
+chunk and reduces with a single sublane sum. On the flagship matrix
+class (RCM'd 5-point grids: ~5 nonzeros/row) that quantum IS the
+padding: slab height 5 rounds to 8 and the whole measured 1.60x
+padding ratio is the 8/5 quantization (docs/PERF_NOTES.md r3). The
+reference's CSR-k slabs have no such floor — its super-rows pack rows
+back-to-back (spmv-csrk/csrk.cpp:149-330) — so this closes the gap the
+TPU register shape introduced.
+
+Here chunk slabs stack back-to-back at sublane granularity
+(kc = max(true slot count, 4)), so a (8, 128) sub-tile may contain the
+tail of one chunk, whole chunks, and the head of the next. Correctness
+holds through a 3-way static segmented reduce per sub-tile:
+
+    sA  = sublanes [0, b1)   completes the chunk carried in
+    sB  = sublanes [b1, b2)  a chunk fully contained in this sub-tile
+    sC  = sublanes [b2, 8)   carried into the next sub-tile
+
+with (b1, b2, E) packed per sub-tile into one SMEM word. kc >= 4
+guarantees at most TWO chunk ends per sub-tile (ends are >= 4 slots
+apart, a sub-tile spans 7 positions), so two partial output rows per
+sub-tile suffice; the carry lives in a VMEM scratch register that
+persists across the (sequential) grid. Each chunk's total lands in
+exactly one partial row, statically known at build time, so the
+epilogue is a row GATHER (cheaper than the segment-sum the quantized
+layouts need for ragged heights).
+
+Quantum-2 slab heights were tried in round 2 and measured DEAD — but
+that variant flushed chunks in-kernel with per-group scalar loads and
+dynamic (1,128) stores (docs/PERF_NOTES.md). This design has neither:
+all stores are static (rows 2s, 2s+1), the only new scalar load is the
+bmeta word, and the segmented reduce is two extra masked sums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_spmv.formats.csr import CSRMatrix
+from tpu_spmv.formats.sell import (
+    LANES,
+    SUBLANES,
+    _aligned_slots,
+    _round_up,
+    pick_tile_k,
+)
+
+# Minimum slab height: bounds chunk ends per 8-slot sub-tile to two
+# (consecutive ends are >= MIN_KC apart; a sub-tile spans 7 positions).
+MIN_KC = 4
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedRanked:
+    """Mixed-height rank-windowed slabs (see module docstring).
+
+    Storage matches RankedSlabs (vals/lcols/sub_b0/sub_dlo/sub_dhi)
+    plus:
+      bmeta     (S,) int32: b1 | b2 << 4 | E << 8 — the sub-tile's
+                segment boundaries and end count
+      out_row   (num_chunks,) int32: flat partial-row index (2s or
+                2s+1) where this chunk's total is emitted
+    """
+
+    vals: jax.Array
+    lcols: jax.Array
+    sub_b0: jax.Array
+    sub_dlo: jax.Array
+    sub_dhi: jax.Array
+    bmeta: jax.Array
+    out_row: jax.Array
+    m: int
+    n: int
+    nnz: int
+    num_chunks: int
+    rank_nb: int
+    tile_k: int
+
+    def tree_flatten(self):
+        children = (
+            self.vals, self.lcols, self.sub_b0, self.sub_dlo,
+            self.sub_dhi, self.bmeta, self.out_row,
+        )
+        aux = (
+            self.m, self.n, self.nnz, self.num_chunks, self.rank_nb,
+            self.tile_k,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_subtiles(self) -> int:
+        return int(self.sub_b0.shape[0])
+
+    @property
+    def padded_nnz(self) -> int:
+        return int(self.vals.shape[0]) * LANES
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.padded_nnz / max(self.nnz, 1)
+
+    @property
+    def hbm_bytes(self) -> int:
+        return (
+            self.vals.size * 4
+            + self.lcols.size * self.lcols.dtype.itemsize
+            + 4 * (self.n + self.m)
+            + 2 * self.num_subtiles * LANES * 4  # two partial rows/sub-tile
+        )
+
+    @classmethod
+    def from_csr(
+        cls, mat: CSRMatrix, tile_k: int = 2048,
+    ) -> "PackedRanked":
+        m, n = mat.shape
+        num_chunks = max(_round_up(m, LANES) // LANES, 1)
+
+        ranks, kc_raw = _aligned_slots(mat)
+        kc = np.maximum(kc_raw, MIN_KC)
+        koff = np.zeros(num_chunks + 1, dtype=np.int64)
+        np.cumsum(kc, out=koff[1:])
+        # Large layouts round total_k up to the full tile so the grid
+        # keeps the measured-1.3x 2048-sublane tiles (the padding is at
+        # most one tile); small ones stay 512-quantized via pick_tile_k.
+        total_k = _round_up(int(koff[-1]), 512)
+        if total_k >= 4 * tile_k:
+            tile_eff = tile_k
+            total_k = _round_up(total_k, tile_eff)
+        else:
+            tile_eff = pick_tile_k(total_k, tile_k)
+
+        vals = np.zeros((total_k, LANES), dtype=np.float32)
+        cols = np.full((total_k, LANES), -1, dtype=np.int64)
+        rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
+        dest_k = koff[rows // LANES] + ranks
+        dest_l = rows % LANES
+        vals[dest_k, dest_l] = mat.data
+        cols[dest_k, dest_l] = mat.indices
+
+        # Per-(global sublane) windows over real slots, as in
+        # RankedSlabs.from_csr — the window machinery never cared which
+        # chunk a sublane belongs to.
+        S = total_k // SUBLANES
+        units = np.where(cols >= 0, cols >> 7, np.iinfo(np.int64).max)
+        big = units.reshape(S, SUBLANES, LANES)
+        sub_base = big.min(axis=2)
+        empty = sub_base == np.iinfo(np.int64).max
+        tile_min = sub_base.min(axis=1)
+        tile_min[tile_min == np.iinfo(np.int64).max] = 0
+        sub_base = np.where(empty, tile_min[:, None], sub_base)
+
+        base_cols = np.repeat(
+            sub_base.reshape(-1), LANES
+        ).reshape(total_k, LANES)
+        real = cols >= 0
+        lcols = np.where(real, cols - (base_cols << 7), 0)
+        rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
+        assert lcols.min() >= 0
+        lcols = lcols.astype(
+            np.int16 if int(lcols.max()) < 2**15 else np.int32
+        )
+
+        sub_b0 = sub_base.min(axis=1)
+        deltas = sub_base - sub_b0[:, None]
+        if deltas.size and deltas.max() > 255:
+            raise ValueError(
+                "sub-tile block span exceeds the packed-delta range "
+                "(256 blocks); use SellSlabs for this matrix"
+            )
+        deltas = deltas.astype(np.uint32)
+        sub_dlo = np.zeros(S, dtype=np.uint32)
+        sub_dhi = np.zeros(S, dtype=np.uint32)
+        for r in range(4):
+            sub_dlo |= deltas[:, r] << (8 * r)
+            sub_dhi |= deltas[:, r + 4] << (8 * r)
+
+        # Segment metadata: chunk c's slots end at koff[c+1]-1, i.e. it
+        # completes in sub-tile (koff[c+1]-1) // 8 at boundary position
+        # koff[c+1] - 8s in (0, 8].
+        ends = koff[1:]  # exclusive end slot per chunk
+        s_of = (ends - 1) // SUBLANES
+        bpos = ends - s_of * SUBLANES  # in (0, 8]
+        # Rank of each end within its sub-tile (0 = first, 1 = second):
+        # chunk ids ascend with end position, so rank = count of earlier
+        # chunks sharing the sub-tile.
+        start_idx = np.searchsorted(s_of, np.arange(S), side="left")
+        rank_in = np.arange(num_chunks, dtype=np.int64) - start_idx[s_of]
+        out_row = 2 * s_of + rank_in
+
+        b1 = np.zeros(S, dtype=np.int64)
+        b2 = np.zeros(S, dtype=np.int64)
+        E = np.zeros(S, dtype=np.int64)
+        np.add.at(E, s_of, 1)
+        assert E.max(initial=0) <= 2, "kc >= 4 bounds ends to 2"
+        # First end's boundary -> b1; second -> b2 (else b2 = b1).
+        b1[s_of[rank_in == 0]] = bpos[rank_in == 0]
+        b2[:] = b1
+        b2[s_of[rank_in == 1]] = bpos[rank_in == 1]
+        bmeta = (b1 | (b2 << 4) | (E << 8)).astype(np.int32)
+
+        as32 = lambda a: jnp.asarray(
+            a.view(np.int32) if a.dtype == np.uint32 else a,
+            dtype=jnp.int32,
+        )
+        return cls(
+            vals=jnp.asarray(vals),
+            lcols=jnp.asarray(lcols),
+            sub_b0=as32(sub_b0.astype(np.int32)),
+            sub_dlo=as32(sub_dlo),
+            sub_dhi=as32(sub_dhi),
+            bmeta=as32(bmeta),
+            out_row=as32(out_row.astype(np.int32)),
+            m=m,
+            n=n,
+            nnz=mat.nnz,
+            num_chunks=num_chunks,
+            rank_nb=rank_nb,
+            tile_k=tile_eff,
+        )

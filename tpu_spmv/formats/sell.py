@@ -256,6 +256,13 @@ def _binned_slots(mat: CSRMatrix, bin_blocks: int):
     if nnz == 0:
         return np.zeros(0, np.int64), np.ones(num_chunks, np.int64)
 
+    from tpu_spmv.reorder import native
+
+    if native.available():
+        # C++ core (exact-parity tested): the per-entry Python repair
+        # loop below crawls on adversarial scattered chunks.
+        return native.binned_slots(mat.indptr, mat.indices, bin_blocks)
+
     lens = mat.row_lengths.astype(np.int64)
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
     chunks = rows >> 7
@@ -367,19 +374,27 @@ def _save_layout(layout, path, matrix: CSRMatrix | None = None,
     )
 
 
+class LayoutCacheMismatch(ValueError):
+    """A cached layout artifact does not match the requested matrix or
+    layout configuration. A distinct type so callers with build
+    fallbacks (e.g. ranked -> sell in tools/spmv.py) can surface the
+    'rebuild it' message instead of silently switching kernels."""
+
+
 def load_layout(path, matrix: CSRMatrix | None = None, config: tuple = ()):
     """Load a layout saved by SellSlabs.save / RankedSlabs.save.
 
     When `matrix` is given, the cached fingerprint (if present) must
     match it (and the layout-config ints) exactly — a mismatch raises
-    instead of returning a layout built from some other matrix/config.
+    LayoutCacheMismatch instead of returning a layout built from some
+    other matrix/config.
     """
     with np.load(path, allow_pickle=False) as z:
         clsname = str(z["__class__"])
         aux = tuple(int(v) for v in z["__aux__"])
         if matrix is not None and "__mkey__" in z:
             if not np.array_equal(z["__mkey__"], matrix_key(matrix, config)):
-                raise ValueError(
+                raise LayoutCacheMismatch(
                     f"layout cache {path} was built from a different matrix "
                     "or layout configuration (rcm/sigma/k/bin_blocks); "
                     "rebuild it"
@@ -391,7 +406,7 @@ def load_layout(path, matrix: CSRMatrix | None = None, config: tuple = ()):
             i += 1
     cls = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}[clsname]
     if clsname == "RankedSlabs" and len(children) < 8:
-        raise ValueError(
+        raise LayoutCacheMismatch(
             f"layout cache {path} predates the grouped-window layout "
             "fields; rebuild it"
         )
@@ -451,6 +466,20 @@ class SellSlabs:
         )
 
     @classmethod
+    def shape_stats(
+        cls, mat: CSRMatrix, tile_k: int = 2048, bin_blocks: int = 0,
+    ) -> tuple[int, int]:
+        """(num_subtiles, max_nb) of the layout from_csr would build.
+
+        Pure host/NumPy — safe inside the planner (tune/model.py), which
+        must never trigger JAX backend initialization just to cost a
+        candidate layout.
+        """
+        host = cls._host_build(mat, tile_k, False, bin_blocks)
+        sub_nb = host["sub_nb"]
+        return len(sub_nb), int(sub_nb.max()) if len(sub_nb) else 1
+
+    @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 2048, align: bool = False,
         bin_blocks: int = 0,
@@ -464,6 +493,28 @@ class SellSlabs:
         bin_blocks > 0: column-binned slots (_binned_slots) for
         scattered matrices — overrides align.
         """
+        host = cls._host_build(mat, tile_k, align, bin_blocks)
+        as32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        sub_nb = host["sub_nb"]
+        return cls(
+            vals=jnp.asarray(host["vals"]),
+            cols=as32(host["cols"]),
+            sub_b0=as32(host["sub_b0"]),
+            sub_nb=as32(sub_nb),
+            sub_chunk=as32(host["sub_chunk"]),
+            m=host["m"],
+            n=host["n"],
+            nnz=mat.nnz,
+            num_chunks=host["num_chunks"],
+            max_nb=int(sub_nb.max()) if len(sub_nb) else 1,
+            chunk_q=host["chunk_q"],
+        )
+
+    @staticmethod
+    def _host_build(
+        mat: CSRMatrix, tile_k: int, align: bool, bin_blocks: int,
+    ) -> dict:
+        """Host/NumPy half of from_csr (no JAX calls)."""
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
@@ -532,18 +583,9 @@ class SellSlabs:
             np.arange(num_chunks, dtype=np.int64), kc // SUBLANES
         )
 
-        as32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
-        return cls(
-            vals=jnp.asarray(vals),
-            cols=as32(cols),
-            sub_b0=as32(sub_b0),
-            sub_nb=as32(sub_nb),
-            sub_chunk=as32(sub_chunk),
-            m=m,
-            n=n,
-            nnz=mat.nnz,
-            num_chunks=num_chunks,
-            max_nb=int(sub_nb.max()) if num_subtiles else 1,
+        return dict(
+            vals=vals, cols=cols, sub_b0=sub_b0, sub_nb=sub_nb,
+            sub_chunk=sub_chunk, m=m, n=n, num_chunks=num_chunks,
             chunk_q=_uniform_subtiles_per_chunk(sub_chunk, num_chunks),
         )
 

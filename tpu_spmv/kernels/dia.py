@@ -1,0 +1,128 @@
+"""Pallas SpMV over the DIA (diagonal-offset) layout.
+
+For stencil-class matrices (see formats/dia.py) the gather disappears:
+x[row + off] for a whole (rows_per_tile, 128) block is two VMEM row
+loads plus one static lane-rotation (pltpu.roll with a compile-time
+shift), because off = 128 * qb + s splits into a block offset qb and a
+lane shift s shared by every row. Grid-aligned stencil offsets
+(|off| % 128 == 0, e.g. the +/-1024 arms of a 1024-grid 5-point
+Laplacian) are a single aligned load.
+
+Per diagonal per (rows_per_tile, 128) block: 1-2 loads, 0-2 rolls,
+0-1 select, 1 fma — ~2-6 VPU ops vs the slab kernels' per-sub-tile
+gather machinery, with 4 B/nnz of HBM traffic (no column indices, no
+partials). y is written exactly once by the grid's output block.
+
+Role-equivalent of the reference's density-dispatched kernel family
+(spmv-csr/spmv-avx512.c lt4/gt4, reformat-auto's per-structure format
+choice) for the grid-stencil end of its benchmark set.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_spmv.formats.dia import DiaSlabs
+from tpu_spmv.formats.sell import LANES
+
+
+def _split_offset(off: int) -> tuple[int, int]:
+    """off = 128 * qb + s with s in [0, 128)."""
+    s = off % LANES
+    return (off - s) // LANES, s
+
+
+def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
+    """Kernel specialized on the static offset tuple (D unrolled)."""
+    def roll_lanes(a, s):
+        if interpret:
+            return jnp.roll(a, -s, axis=1)
+        return pltpu.roll(a, -s, axis=1)
+
+    def kernel(vals_ref, x_ref, y_ref):
+        t = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+        acc = jnp.zeros((rb, LANES), jnp.float32)
+        for k, off in enumerate(offsets):
+            qb, s = _split_offset(off)
+            base = t * rb + (glo + qb)
+            a = x_ref[pl.ds(base, rb), :]
+            if s == 0:
+                shifted = a
+            else:
+                b = x_ref[pl.ds(base + 1, rb), :]
+                shifted = jnp.where(
+                    lane < LANES - s, roll_lanes(a, s), roll_lanes(b, s)
+                )
+            acc = acc + vals_ref[k] * shifted
+        y_ref[...] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmv_dia(layout: DiaSlabs, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """y = A @ x with A in DIA layout. x: (n,) float32 -> y: (m,)."""
+    d = layout.num_diagonals
+    rb = layout.rows_per_tile // LANES
+    nb = layout.num_blocks
+    num_tiles = nb // rb
+
+    qbs = [_split_offset(o)[0] for o in layout.offsets]
+    glo = max(0, -min(qbs))
+    # High guard: the farthest base+1 block read plus the rb-row window.
+    ghi = max(max(qbs) + 2, 1)
+    n_blocks = glo + nb + ghi
+    x2d = jnp.zeros((n_blocks * LANES,), jnp.float32)
+    x2d = jax.lax.dynamic_update_slice(
+        x2d, x.astype(jnp.float32), (glo * LANES,)
+    ).reshape(n_blocks, LANES)
+
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (d, rb, LANES), lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x, fully resident
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    y = pl.pallas_call(
+        _make_dia_kernel(layout.offsets, rb, glo, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.vals.size,
+            bytes_accessed=layout.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(layout.vals, x2d)
+
+    return y.reshape(-1)[: layout.m]
+
+
+def spmv_dia_reference(layout: DiaSlabs, x) -> "np.ndarray":
+    """NumPy oracle over the layout itself (tests)."""
+    import numpy as np
+
+    vals = np.asarray(layout.vals).reshape(layout.num_diagonals, -1)
+    n_rows = vals.shape[1]
+    xp = np.zeros(n_rows + 2 * n_rows, np.float32)  # generous guard
+    off0 = n_rows
+    xp[off0 : off0 + layout.n] = np.asarray(x, np.float32)
+    y = np.zeros(n_rows, np.float32)
+    rows = np.arange(n_rows)
+    for k, off in enumerate(layout.offsets):
+        y += vals[k] * xp[off0 + rows + off]
+    return y[: layout.m]

@@ -64,6 +64,11 @@ def _load():
         lib.tpu_spmv_sell_targets.restype = ctypes.c_int
         lib.tpu_spmv_greedy_color.argtypes = [ctypes.c_int64, I64, I32, I64]
         lib.tpu_spmv_greedy_color.restype = ctypes.c_int
+        lib.tpu_spmv_binned_slots.argtypes = [
+            ctypes.c_int64, I64, I32, ctypes.c_int64, ctypes.c_int64,
+            I64, I64,
+        ]
+        lib.tpu_spmv_binned_slots.restype = ctypes.c_int
         lib.tpu_spmv_level_schedule.argtypes = [ctypes.c_int64, I64, I32, I64]
         lib.tpu_spmv_level_schedule.restype = ctypes.c_int
         _lib = lib
@@ -248,6 +253,34 @@ def aligned_slots(indptr, indices, gap: int = 128, cap_factor: float = 2.0,
     )
     if rc != 0:
         raise RuntimeError(f"tpu_spmv_aligned_slots failed with code {rc}")
+    return slots, kc
+
+
+def binned_slots(indptr, indices, bin_blocks: int, lanes: int = 128):
+    """Native column-binned slot assignment incl. the packed-delta
+    repair (formats/sell._binned_slots semantics; exact-parity tested).
+    Returns (slots, kc)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    m = indptr.shape[0] - 1
+    nnz = int(indptr[-1])
+    num_chunks = max(-(-m // lanes), 1)
+    slots = np.empty(nnz, dtype=np.int64)
+    kc = np.empty(num_chunks, dtype=np.int64)
+    rc = lib.tpu_spmv_binned_slots(
+        m,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        int(bin_blocks),
+        int(lanes),
+        _ptr(slots, ctypes.c_int64),
+        _ptr(kc, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_binned_slots failed with code {rc}")
     return slots, kc
 
 

@@ -45,7 +45,8 @@ def main(argv=None):
                     help="super-row sizes per level (k-1 of them)")
     ap.add_argument(
         "--kernel", default="auto",
-        choices=("auto", "sell", "ranked", "segsum", "bcoo"),
+        choices=("auto", "sell", "ranked", "segsum", "bcoo", "dia",
+                 "striped"),
     )
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
@@ -129,12 +130,20 @@ def main(argv=None):
         )
         out_perm = out_perm[sperm]
         print(f"sigma={sigma} row sort applied")
+        if plan is not None:
+            # The sort changes chunk structure (slab heights, spans), so
+            # kernel/bin-width choices made pre-sort can be stale
+            # (ADVICE r2): re-plan on the matrix the layout will be
+            # built from (cheap — sampled).
+            plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
 
     if kernel == "auto":
         kernel = plan.kernel
         print(f"auto kernel: {kernel} ({plan.reason})")
     if bin_blocks < 0:
-        bin_blocks = plan.bin_blocks if (plan and kernel == "ranked") else 0
+        bin_blocks = (
+            plan.bin_blocks if (plan and kernel in ("ranked", "sell")) else 0
+        )
         if bin_blocks:
             print(f"planner bin width: W={bin_blocks} blocks")
 
@@ -177,19 +186,61 @@ def main(argv=None):
             layout = build_or_load(RankedSlabs)
             from tpu_spmv.kernels.pallas_sell import resident_x_fits
 
-            if not resident_x_fits(layout):
+            if resident_x_fits(layout):
+                fn = functools.partial(spmv_ranked, interpret=interp)
+            elif bin_blocks > 0:
+                # Column-binned windows have no band locality for the
+                # HBM-windowed kernel's per-tile bands: scattered x
+                # beyond VMEM goes through column-stripe passes instead.
+                from tpu_spmv.kernels.striped import (
+                    StripedRanked, spmv_striped,
+                )
+
+                layout = StripedRanked.from_csr(
+                    ck.matrix, bin_blocks=bin_blocks
+                )
+                fn = functools.partial(spmv_striped, interpret=interp)
+                print(
+                    f"x exceeds VMEM residency; column-striped passes "
+                    f"(P={layout.num_stripes})"
+                )
+            else:
                 # x exceeds the VMEM residency budget: stream per-tile
                 # windows from HBM instead.
                 from tpu_spmv.kernels.pallas_sell import spmv_ranked_windowed
 
                 fn = functools.partial(spmv_ranked_windowed, interpret=interp)
                 print("x exceeds VMEM residency; using the HBM-windowed kernel")
-            else:
-                fn = functools.partial(spmv_ranked, interpret=interp)
-        except ValueError as e:  # packed-delta range exceeded
+        except ValueError as e:
+            from tpu_spmv.formats.sell import LayoutCacheMismatch
+
+            if isinstance(e, LayoutCacheMismatch):
+                # A stale cache must say "rebuild it", not silently
+                # benchmark a different kernel (ADVICE r2).
+                raise SystemExit(str(e))
+            # Packed-delta range exceeded: fall back to the plain kernel.
             print(f"ranked layout unavailable ({e}); falling back to sell")
             layout = build_or_load(SellSlabs)
             fn = functools.partial(spmv_sell, interpret=interp)
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "dia":
+        from tpu_spmv.formats.dia import DiaSlabs
+        from tpu_spmv.kernels.dia import spmv_dia
+
+        layout = DiaSlabs.from_csr(ck.matrix)
+        fn = functools.partial(spmv_dia, interpret=interp)
+        print(f"DIA: {layout.num_diagonals} diagonals, "
+              f"fill {layout.padding_ratio:.2f}x")
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "striped":
+        from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
+
+        layout = StripedRanked.from_csr(
+            ck.matrix, bin_blocks=bin_blocks if bin_blocks > 0 else 16
+        )
+        fn = functools.partial(spmv_striped, interpret=interp)
+        print(f"column stripes: P={layout.num_stripes}, "
+              f"padding {layout.padding_ratio:.2f}x")
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "bcoo":
         layout = BCOOLayout.from_csr(ck.matrix)

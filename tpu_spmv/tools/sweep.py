@@ -52,7 +52,13 @@ def _resolve_matrices(entries, suite: dict):
                     f"matrix {entry!r}: not a suite name "
                     f"({', '.join(sorted(suite))}) and no such file"
                 )
-            yield pp.name, (lambda q=p: load(q))
+            # Path-qualified key: bare basenames collide when one sweep
+            # covers e.g. norm/a.csr and rcm/a.csr, silently skipping
+            # the second on resume (ADVICE r2).
+            name = (
+                f"{pp.parent.name}/{pp.name}" if pp.parent.name else pp.name
+            )
+            yield name, (lambda q=p: load(q))
 
 
 def _done_keys(path: pathlib.Path) -> set:
@@ -125,29 +131,58 @@ def main(argv=None):
                         )
                         xj = jnp.asarray(ck.set_x(x))
                         kern, bb = kernel, 0
+                        mat_l, vperm = ck.matrix, ck.perm
                         if kern == "auto":
+                            from tpu_spmv.formats.sell import sigma_sort
                             from tpu_spmv.tune.model import tpu_plan
 
                             plan = tpu_plan(ck.matrix, assume_rcm=args.rcm)
+                            if plan.sigma:
+                                # Planner-recommended SELL-C-sigma row
+                                # sort (rows only — x is unaffected,
+                                # validation goes through vperm), then
+                                # re-plan on the sorted structure.
+                                mat_l, sperm = sigma_sort(
+                                    ck.matrix, plan.sigma
+                                )
+                                vperm = ck.perm[sperm]
+                                plan = tpu_plan(mat_l, assume_rcm=args.rcm)
                             kern, bb = plan.kernel, plan.bin_blocks
                         if kern == "sell":
-                            lay = SellSlabs.from_csr(ck.matrix)
+                            lay = SellSlabs.from_csr(mat_l, bin_blocks=bb)
                             fn = spmv_sell
                             pad, nb = lay.padding_ratio, lay.max_nb
                         elif kern == "ranked":
-                            lay = RankedSlabs.from_csr(ck.matrix, bin_blocks=bb)
+                            lay = RankedSlabs.from_csr(mat_l, bin_blocks=bb)
                             fn = spmv_ranked
                             pad, nb = lay.padding_ratio, lay.rank_nb
+                        elif kern == "dia":
+                            from tpu_spmv.formats.dia import DiaSlabs
+                            from tpu_spmv.kernels.dia import spmv_dia
+
+                            lay = DiaSlabs.from_csr(mat_l)
+                            fn = spmv_dia
+                            pad, nb = lay.padding_ratio, lay.num_diagonals
+                        elif kern == "striped":
+                            from tpu_spmv.kernels.striped import (
+                                StripedRanked, spmv_striped,
+                            )
+
+                            lay = StripedRanked.from_csr(
+                                mat_l, bin_blocks=bb if bb > 0 else 16
+                            )
+                            fn = spmv_striped
+                            pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
-                            lay = BCOOLayout.from_csr(ck.matrix)
+                            lay = BCOOLayout.from_csr(mat_l)
                             fn = spmv_bcoo
                             pad, nb = 1.0, 0
                         else:
-                            lay = SegsumLayout.from_csr(ck.matrix)
+                            lay = SegsumLayout.from_csr(mat_l)
                             fn = spmv_segsum
                             pad, nb = 1.0, 0
                         y = np.asarray(fn(lay, xj))
-                        wrong, rel = validate(y, mat.matvec(x)[ck.perm])
+                        wrong, rel = validate(y, mat.matvec(x)[vperm])
                         r = bench_spmv(fn, lay, xj)
                         row = {
                             "matrix": name, "kernel": kernel, "k": args.k,

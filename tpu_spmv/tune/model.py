@@ -119,7 +119,22 @@ _PAIR_COST = 0.95
 # Slab-streaming floor per sub-tile: 8x128x6B at ~3.5KB per unit.
 _TRAFFIC_FLOOR = 1.7
 # Candidate column-bin widths (x blocks) for the scattered-matrix mode.
-_BIN_WIDTHS = (1, 2, 4, 8, 16)
+# For uniformly random structure, fill scales ~1/W while the pair cost
+# scales ~W/2, so the product approaches an asymptote from above — the
+# wide entries (32, 64) matter for very sparse scattered rows (lane-
+# sparse bins); their kernels run the fori sub-tile loop.
+_BIN_WIDTHS = (1, 2, 4, 8, 16, 32, 64)
+# Stripe widths: column-binned slots driven by the PLAIN kernel. Narrow
+# bins trade Poisson fill (HBM traffic) for a short gather loop; at wide
+# bins the fill collapses toward 1x (large per-bin counts) while the
+# plain kernel's block-loop stays under _SPAN_LIMIT — the padding-free
+# scattered path (cost = subtiles x span instead of subtiles x fill).
+_STRIPE_WIDTHS = (16, 32, 64)
+# DIA per-diagonal cost per (8,128) row unit, in plain-iteration units:
+# the kernel does 1-2 VMEM x loads + <=2 lane rolls + 1 fma and streams
+# 8x128x4B of diagonal values (2/3 of a slab sub-tile's 6B/slot), so
+# one diagonal step is cheaper than one gather step but not free.
+_DIA_STEP_COST = 1.1
 
 
 def exact_rank_nb(mat, align: bool = True, slots=None) -> tuple[int, int]:
@@ -323,6 +338,52 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
                 f"padding {s_bin * SUBLANES * LANES / max(mat.nnz, 1):.1f}x",
             ))
 
+        # Column-stripe candidates: binned slots at wide W under the
+        # PLAIN kernel. Every sub-tile pays the static global span, so
+        # measure it on the sample's real layout (cheap: <=256 chunks;
+        # shape_stats is the host-only path — the planner must never
+        # trigger JAX backend init).
+        from tpu_spmv.formats.sell import SellSlabs
+
+        for w in _STRIPE_WIDTHS:
+            if w * LANES >= 2 * max(mat.n, 1):
+                break
+            try:
+                n_sub, span = SellSlabs.shape_stats(sampled, bin_blocks=w)
+            except ValueError:
+                continue
+            if span > _SPAN_LIMIT:
+                continue
+            s_str = n_sub * scale
+            candidates.append((
+                s_str * max(float(span), _TRAFFIC_FLOOR), "sell", w,
+                f"column-striped plain kernel, W={w} blocks "
+                f"(span {span}, padding "
+                f"{s_str * SUBLANES * LANES / max(mat.nnz, 1):.1f}x)",
+            ))
+
+        # DIA candidate: stencil-structured matrices drop the gather and
+        # the column indices entirely (formats/dia.py). Cheap sampled
+        # probe first; exact profile only when the sample passes both
+        # admission gates (diag count AND fill — a diagonal-count pass
+        # alone admits e.g. tridiagonal-plus-dense-row shapes whose
+        # exact scan is the same O(nnz) as _exact_chunk_nb anyway).
+        from tpu_spmv.formats.dia import (
+            DIA_MAX_DIAGS, DIA_MAX_FILL, diagonal_profile,
+        )
+
+        d_s, _ = diagonal_profile(mat, sample_rows=256)
+        if d_s <= DIA_MAX_DIAGS:
+            d_x, fill_x = diagonal_profile(mat)
+            if d_x <= DIA_MAX_DIAGS and fill_x <= DIA_MAX_FILL:
+                units = max(-(-m // (SUBLANES * LANES)), 1)
+                candidates.append((
+                    units * max(d_x * _DIA_STEP_COST, _TRAFFIC_FLOOR),
+                    "dia", 0,
+                    f"{d_x} constant diagonals, fill {fill_x:.2f}x — "
+                    "index-free DIA kernel",
+                ))
+
     needs_rcm = not assume_rcm and est_nb > 8 and m > LANES
 
     # SELL-C-sigma recommendation (the reference's AVX-512 lt4/gt4 role,
@@ -365,6 +426,12 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         cost = 0.0
     else:
         cost, kernel, bin_blocks, reason = min(candidates, key=lambda c: c[0])
+
+    if kernel == "dia":
+        # Any symmetric permutation (RCM) or row sort (sigma) destroys
+        # the constant-diagonal structure the candidate was scored on.
+        needs_rcm = False
+        sigma = 0
 
     return TpuPlan(
         kernel=kernel,
