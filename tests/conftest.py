@@ -21,3 +21,29 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-size interpret-mode variants (minutes each on CPU); "
+        "skipped unless TPU_SPMV_FULL_TESTS=1 or -m slow selects them",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # Small default variants keep every code path covered in <10 min;
+    # the full-size versions run with TPU_SPMV_FULL_TESTS=1 (VERDICT r2
+    # weak #4: the default suite had grown to 25 min).
+    if os.environ.get("TPU_SPMV_FULL_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection wins
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="slow full-size variant; set TPU_SPMV_FULL_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -74,7 +74,7 @@ def test_windowed_matches_resident():
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_ranked_windowed
 
-    mat = random_banded(640, 40, 8, seed=4)
+    mat = random_banded(384, 30, 6, seed=4)
     lay = RankedSlabs.from_csr(mat)
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     y_res = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
@@ -90,30 +90,50 @@ def test_ranked_matches_oracle():
     from tpu_spmv.kernels.pallas_sell import spmv_ranked
 
     # Small sizes: interpret mode executes eagerly per sub-tile.
-    for mat in (laplacian_2d(16), random_banded(256, 24, 6, seed=1),
-                random_general(160, 5, seed=2)):
+    for mat in (laplacian_2d(16), random_banded(192, 24, 6, seed=1),
+                random_general(140, 5, seed=2)):
         lay = RankedSlabs.from_csr(mat)
         x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
         y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
         assert _rel(y, mat.matvec(x)) < 1e-6
 
 
-def test_binned_matches_oracle():
-    """Column-binned slots (scattered-matrix mode): parity at every bin
-    width on scattered, banded, and stencil structure."""
+def _binned_parity(mats, widths):
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.pallas_sell import spmv_ranked
 
-    for mat in (random_general(2000, 8, seed=2),
-                random_banded(1500, 300, 8, seed=1),
-                laplacian_2d(40)):
+    for mat in mats:
         x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
         y_ref = mat.matvec(x)
-        for w in (1, 2, 4, 8):
+        for w in widths:
             lay = RankedSlabs.from_csr(mat, bin_blocks=w)
             assert lay.rank_nb <= w
             y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
             assert _rel(y, y_ref) < 1e-6, (w, mat.shape)
+
+
+def test_binned_matches_oracle():
+    """Column-binned slots (scattered-matrix mode): small default
+    variant covering scattered structure at a narrow and a wide bin."""
+    _binned_parity([random_general(600, 8, seed=2)], (1, 4))
+
+
+@pytest.mark.slow
+def test_binned_matches_oracle_full():
+    """Full parity matrix: every bin width on scattered, banded, and
+    stencil structure (TPU_SPMV_FULL_TESTS=1)."""
+    _binned_parity(
+        (random_general(2000, 8, seed=2),
+         random_banded(1500, 300, 8, seed=1),
+         laplacian_2d(40)),
+        (1, 2, 4, 8),
+    )
+
+
+def test_binned_wide_fori_path():
+    """Wide bins trigger the fori sub-tile loop (_UNROLL_BUDGET); parity
+    must hold there too (the scattered asymptote runs at W=32/64)."""
+    _binned_parity([random_general(700, 10, seed=4)], (32,))
 
 
 def test_binned_slots_invariants():

@@ -148,7 +148,7 @@ def test_scattered_dependencies_use_binned_path():
         LowerSolveLayout, lower_solve, lower_solve_reference,
     )
 
-    smat = random_banded(4096, 300, 10, seed=0)
+    smat = random_banded(1536, 200, 8, seed=0)
     sysm = build_sts(smat, order_type="LS")
     b = compute_b(sysm.lower)
     lay = LowerSolveLayout.build(sysm, b)
@@ -159,3 +159,22 @@ def test_scattered_dependencies_use_binned_path():
     assert int(np.sum(np.abs(x - x_ref) > 0.01)) == 0
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-6
+
+
+@pytest.mark.slow
+def test_scattered_dependencies_use_binned_path_full():
+    """Full-size (32k-feeder-class) variant of the scattered-solve test."""
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.sts.host import build_sts, compute_b
+    from tpu_spmv.sts.solve import (
+        LowerSolveLayout, lower_solve, lower_solve_reference,
+    )
+
+    smat = random_banded(4096, 300, 10, seed=0)
+    sysm = build_sts(smat, order_type="LS")
+    b = compute_b(sysm.lower)
+    lay = LowerSolveLayout.build(sysm, b)
+    assert lay.ranked is not None
+    x = np.asarray(lower_solve(lay, interpret=True))
+    x_ref = lower_solve_reference(sysm, b)
+    assert int(np.sum(np.abs(x - x_ref) > 0.01)) == 0

@@ -121,22 +121,61 @@ def _reduce_partials(partials, layout):
     return chunk_sums[:-1].reshape(-1)[: layout.m]
 
 
-def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int):
-    """Kernel with fully static control flow.
+# Code-size budget for fully unrolling the per-tile sub-tile loop:
+# beyond roughly this many (sub-tile x gather-step) bodies, switch the
+# OUTER sub-tile loop to lax.fori_loop. Mosaic's ~50-cycle fori overhead
+# amortizes over the (large) per-sub-tile body that triggers it, while
+# unbounded unrolling (e.g. 256 sub-tiles x 64-block stripe spans) blows
+# up compile time and instruction memory. 6144 keeps every r2-measured
+# configuration (sell span <= 24 at 256 sub-tiles, ranked pairs <= 8)
+# on the proven fully-unrolled path.
+_UNROLL_BUDGET = 6144
 
-    Every loop trip count is concrete (Python loops), because Mosaic costs
-    ~50 cycles per dynamic fori_loop iteration vs ~1.7 unrolled. The gather
-    loop always runs max_nb iterations; iterations past a sub-tile's real
+
+def _sub_loop(subs_per_tile: int, inner_steps: int, body,
+              force_loop: bool = False):
+    """Run body(s) for s in [0, subs_per_tile): unrolled when the total
+    step count fits the budget, lax.fori_loop otherwise.
+
+    force_loop (set in interpret mode): always take the fori path. The
+    interpreter lowers the kernel to plain HLO where XLA unrolls the
+    one-trip grid while-loop, inlining subs_per_tile copies of the body
+    (thousands of slice/select instructions) into the entry — the CPU
+    algebraic simplifier then churns to its 50-run fix-point cap on
+    that graph ("Algebraic simplifier is likely stuck..."). Mosaic's
+    per-iteration fori cost does not exist on the CPU interpreter, so
+    looping there is strictly better: small graph, no warning, faster
+    test compiles.
+    """
+    if not force_loop and subs_per_tile * max(inner_steps, 1) <= _UNROLL_BUDGET:
+        for s in range(subs_per_tile):
+            body(s)
+    else:
+        jax.lax.fori_loop(
+            0, subs_per_tile, lambda s, c: (body(s), c)[1], 0
+        )
+
+
+def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int,
+                 loop: bool = False):
+    """Kernel with static gather control flow.
+
+    The gather loop's trip count is concrete (Python loop) because Mosaic
+    costs ~50 cycles per dynamic fori_loop iteration vs ~1.7 unrolled; it
+    always runs max_nb iterations, and iterations past a sub-tile's real
     span contribute nothing (the blk == b select never fires), so no
-    per-sub-tile bound is needed in-kernel.
+    per-sub-tile bound is needed in-kernel. The outer sub-tile loop
+    unrolls only within _UNROLL_BUDGET (column-striped layouts carry
+    spans of 32-128 blocks).
     """
     subs_per_tile = tile_k // SUBLANES
 
     def kernel(sub_b0, vals_ref, cols_ref, x_ref, part_ref):
         off = jax.lax.rem(pl.program_id(0), tiles_per_block) * subs_per_tile
-        for s in range(subs_per_tile):
-            cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+
+        def body(s):
+            cols = cols_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             # Lane-local index is block-independent: hoist out of the loop.
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
@@ -149,7 +188,11 @@ def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int):
                     xb, idx, axis=1, mode="promise_in_bounds"
                 )
                 acc = acc + jnp.where(blk == b, gathered, 0.0)
-            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+            part_ref[pl.ds(s, 1), :] = jnp.sum(
+                vals * acc, axis=0, keepdims=True
+            )
+
+        _sub_loop(subs_per_tile, max_nb, body, force_loop=loop)
 
     return kernel
 
@@ -198,7 +241,7 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
     )
 
     partials = pl.pallas_call(
-        _make_kernel(tile_k, layout.max_nb, tpb),
+        _make_kernel(tile_k, layout.max_nb, tpb, loop=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
         interpret=interpret,
@@ -214,7 +257,7 @@ def spmv_sell(layout: SellSlabs, x: jax.Array, interpret: bool = False) -> jax.A
     return _reduce_partials(partials, layout)
 
 
-def _make_ranked_kernel(tile_k: int, rank_nb: int):
+def _make_ranked_kernel(tile_k: int, rank_nb: int, loop: bool = False):
     """Rank-windowed kernel: per-sublane x windows (see RankedSlabs).
 
     Per sub-tile, gather iterations run in PAIRS: each sublane's 2-block
@@ -240,11 +283,12 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
         off = jax.lax.rem(
             pl.program_id(0), tiles_per_block
         ) * subs_per_tile
-        for s in range(subs_per_tile):
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+
+        def body(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[off + s]
             dlo = sub_dlo[off + s]
@@ -292,12 +336,17 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int):
                             + jnp.where(sel == 2 * p, g0, 0.0)
                             + jnp.where(sel == 2 * p + 1, g1, 0.0)
                         )
-            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+            part_ref[pl.ds(s, 1), :] = jnp.sum(
+                vals * acc, axis=0, keepdims=True
+            )
+
+        _sub_loop(subs_per_tile, 2 * npairs, body, force_loop=loop)
 
     return kernel
 
 
-def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple):
+def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
+                         loop: bool = False):
     """Grouped-window rank kernel: sublanes sharing a window (static map
     `groups`) read ONE absolute base from SMEM and issue ONE (2,128)
     load per pair-step — G loads + G scalar reads per sub-tile instead
@@ -313,11 +362,12 @@ def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple):
         off = jax.lax.rem(
             pl.program_id(0), tiles_per_block
         ) * (subs_per_tile * G)
-        for s in range(subs_per_tile):
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+
+        def body(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             bases = [grp_b0[off + s * G + gi] for gi in range(G)]
             if rank_nb == 1:
@@ -356,7 +406,11 @@ def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple):
                             + jnp.where(sel == 2 * p, g0, 0.0)
                             + jnp.where(sel == 2 * p + 1, g1, 0.0)
                         )
-            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+            part_ref[pl.ds(s, 1), :] = jnp.sum(
+                vals * acc, axis=0, keepdims=True
+            )
+
+        _sub_loop(subs_per_tile, 2 * npairs * G, body, force_loop=loop)
 
     return kernel
 
@@ -392,14 +446,16 @@ def spmv_ranked(
 
     if layout.group_code:
         G = max(layout.groups) + 1
-        kernel = _make_grouped_kernel(tile_k, layout.rank_nb, layout.groups)
+        kernel = _make_grouped_kernel(
+            tile_k, layout.rank_nb, layout.groups, loop=interpret
+        )
         tpb_g, _ = _meta_block(subs_per_tile * G)
         meta_specs = [smem1d(subs_per_tile * G)]
         meta = (
             _pad_meta(layout.grp_b0, num_tiles, subs_per_tile * G, tpb_g),
         )
     else:
-        kernel = _make_ranked_kernel(tile_k, layout.rank_nb)
+        kernel = _make_ranked_kernel(tile_k, layout.rank_nb, loop=interpret)
         tpb, _ = _meta_block(subs_per_tile)
         meta_specs = [smem1d(subs_per_tile)] * 3
         meta = tuple(
@@ -439,7 +495,8 @@ def spmv_ranked(
     return _reduce_partials(partials, layout)
 
 
-def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int):
+def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int,
+                          num_tiles: int, loop: bool = False):
     """HBM-windowed rank kernel: x stays in HBM; each grid step DMAs its
     tile's x window (win_w blocks) into a double-buffered VMEM scratch
     while the previous step computes. Removes the VMEM residency cap on
@@ -474,11 +531,11 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int)
         win_dma(slot, t).wait()
         w0 = tile_b0[t]
 
-        for s in range(subs_per_tile):
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+        def body(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[moff + s] - w0
             dlo = sub_dlo[moff + s]
@@ -517,7 +574,11 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int, num_tiles: int)
                         + jnp.where(sel == 2 * p, g0, 0.0)
                         + jnp.where(sel == 2 * p + 1, g1, 0.0)
                     )
-            part_ref[s : s + 1, :] = jnp.sum(vals * acc, axis=0, keepdims=True)
+            part_ref[pl.ds(s, 1), :] = jnp.sum(
+                vals * acc, axis=0, keepdims=True
+            )
+
+        _sub_loop(subs_per_tile, rank_nb + 1, body, force_loop=loop)
 
     return kernel
 
@@ -577,7 +638,9 @@ def spmv_ranked_windowed(
     )
 
     partials = pl.pallas_call(
-        _make_windowed_kernel(tile_k, layout.rank_nb, win_w, num_tiles),
+        _make_windowed_kernel(
+            tile_k, layout.rank_nb, win_w, num_tiles, loop=interpret
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.num_subtiles, LANES), jnp.float32),
         interpret=interpret,

@@ -28,11 +28,11 @@ from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs
 from tpu_spmv.kernels.pallas_sell import _round_up
 
 
-def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int):
+def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int, loop: bool = False):
     subs_per_tile = tile_k // SUBLANES
     npairs = max((rank_nb + 1) // 2, 1)
 
-    from tpu_spmv.kernels.pallas_sell import _meta_block
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _sub_loop
 
     tiles_per_block, _ = _meta_block(subs_per_tile)
 
@@ -40,11 +40,12 @@ def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int):
         off = jax.lax.rem(
             pl.program_id(0), tiles_per_block
         ) * subs_per_tile
-        for s in range(subs_per_tile):
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+
+        def body(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             sel = jax.lax.shift_right_logical(lcols, 7)
             b0 = sub_b0[off + s]
@@ -98,7 +99,9 @@ def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int):
                 ],
                 axis=0,
             )
-            part_ref[s * B : (s + 1) * B, :] = part
+            part_ref[pl.ds(s * B, B), :] = part
+
+        _sub_loop(subs_per_tile, 2 * npairs * B, body, force_loop=loop)
 
     return kernel
 
@@ -153,7 +156,7 @@ def spmm_ranked(
     )
 
     partials = pl.pallas_call(
-        _make_spmm_kernel(tile_k, layout.rank_nb, B),
+        _make_spmm_kernel(tile_k, layout.rank_nb, B, loop=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (layout.num_subtiles * B, LANES), jnp.float32

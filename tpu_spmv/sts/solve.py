@@ -185,8 +185,8 @@ def _flagged_sub_chunk(sub_chunk, num_chunks: int):
     return sub_chunk | (is_last << _LAST_FLAG_SHIFT)
 
 
-def _make_solve_kernel(tile_k: int):
-    from tpu_spmv.kernels.pallas_sell import _meta_block
+def _make_solve_kernel(tile_k: int, loop: bool = False):
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _sub_loop
 
     subs_per_tile = tile_k // SUBLANES
     tiles_per_block, _ = _meta_block(subs_per_tile)
@@ -201,9 +201,9 @@ def _make_solve_kernel(tile_k: int):
             x_ref[:] = jnp.zeros_like(x_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        for s in range(subs_per_tile):
-            cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+        def sbody(s):
+            cols = cols_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
             b0 = sub_b0[moff + s]
@@ -243,13 +243,15 @@ def _make_solve_kernel(tile_k: int):
                 x_ref[pl.ds(c, 1), :] = b_ref[pl.ds(c, 1), :] - acc_ref[:]
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        _sub_loop(subs_per_tile, 1, sbody, force_loop=loop)
+
     return kernel
 
 
-def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
+def _make_ranked_solve_kernel(tile_k: int, rank_nb: int, loop: bool = False):
     """Rank-windowed solve: static per-sublane gather windows (see
     RankedSlabs) + the chunk accumulate/finalize schedule."""
-    from tpu_spmv.kernels.pallas_sell import _meta_block
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _sub_loop
 
     subs_per_tile = tile_k // SUBLANES
     tiles_per_block, _ = _meta_block(subs_per_tile)
@@ -264,11 +266,11 @@ def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
             x_ref[:] = jnp.zeros_like(x_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        for s in range(subs_per_tile):
-            lcols = lcols_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(
+        def sbody(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[moff + s]
             dlo = sub_dlo[moff + s]
@@ -308,6 +310,8 @@ def _make_ranked_solve_kernel(tile_k: int, rank_nb: int):
                 x_ref[pl.ds(c, 1), :] = b_ref[pl.ds(c, 1), :] - acc_ref[:]
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        _sub_loop(subs_per_tile, rank_nb, sbody, force_loop=loop)
+
     return kernel
 
 
@@ -346,7 +350,7 @@ def _lower_solve_ranked(layout, b_scale, interpret):
         scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
     )
     x_pad = pl.pallas_call(
-        _make_ranked_solve_kernel(tile_k, rk.rank_nb),
+        _make_ranked_solve_kernel(tile_k, rk.rank_nb, loop=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
         interpret=interpret,
@@ -415,7 +419,7 @@ def lower_solve(
     )
 
     x_pad = pl.pallas_call(
-        _make_solve_kernel(tile_k),
+        _make_solve_kernel(tile_k, loop=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x_blocks, LANES), jnp.float32),
         interpret=interpret,
