@@ -64,3 +64,26 @@ def test_spmm_on_binned_layout():
     Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(4)], axis=1)
     rel = np.linalg.norm(Y - Y_ref) / np.linalg.norm(Y_ref)
     assert rel < 1e-6, rel
+
+
+def test_spmm_windowed_matches_resident():
+    """HBM-windowed SpMM (X streamed in per-tile windows) reproduces the
+    resident kernel's accumulation exactly."""
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.spmm import spmm_ranked, spmm_ranked_windowed
+
+    B = 3
+    mat = random_banded(640, 40, 7, seed=6)
+    lay = RankedSlabs.from_csr(mat)
+    assert lay.win_w > 0
+    X = np.random.default_rng(7).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Y_res = np.asarray(spmm_ranked(lay, jnp.asarray(X), interpret=True))
+    Y_win = np.asarray(
+        spmm_ranked_windowed(lay, jnp.asarray(X), interpret=True)
+    )
+    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    assert np.linalg.norm(Y_res - Y_ref) / np.linalg.norm(Y_ref) < 1e-6
+    np.testing.assert_array_equal(Y_res, Y_win)

@@ -564,3 +564,60 @@ def spmv_sharded(
         check_vma=False,
     )
     return fn(*operands).reshape(-1)
+
+
+def spmm_sharded(
+    layout: ShardedRanked,
+    X: jax.Array,
+    mesh: Mesh,
+    axis="rows",
+    interpret: bool | None = None,
+):
+    """Y = A @ X with rows sharded over `axis` (multi-vector SpMV — the
+    serving-shaped workload, kernels/spmm.py, distributed).
+
+    X: (padded_m, B) float32 row-sharded P(axis) — same residency as the
+    SpMV x, B extra columns. The halo exchange moves (H, B) edge blocks
+    over the same neighbor `ppermute` pairs as spmv_sharded (all-gather
+    fallback included): `_exchange_x` is shape-agnostic in the leading
+    axis. Each shard then runs the single-chip spmm_ranked kernel on its
+    (local_n, B) window. Returns Y (padded_m, B) sharded P(axis).
+
+    Net-new vs the reference (SURVEY.md section 2.5: nothing crosses a
+    process boundary there); axis may be a tuple for the multi-host
+    hybrid mesh exactly as in spmv_sharded.
+    """
+    from tpu_spmv.kernels.spmm import spmm_ranked
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not isinstance(layout, ShardedRanked):
+        raise TypeError("spmm_sharded expects the ShardedRanked flagship")
+    D_mesh = mesh_axis_size(mesh, axis)
+    if D_mesh != layout.n_devices:
+        raise ValueError(
+            f"layout was built for {layout.n_devices} shards but axis "
+            f"{axis!r} spans {D_mesh} devices"
+        )
+    B = int(X.shape[-1])
+
+    def local(vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk,
+              tile_b0, grp_b0, x_shard):
+        x_in = _exchange_x(layout, x_shard, axis)
+        local_layout = layout._local_layout_struct(
+            vals[0], lcols[0], sub_b0[0], sub_dlo[0], sub_dhi[0],
+            sub_chunk[0], tile_b0[0], grp_b0[0],
+        )
+        return spmm_ranked(local_layout, x_in, interpret=interpret)[None]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 9,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(
+        layout.vals, layout.lcols, layout.sub_b0, layout.sub_dlo,
+        layout.sub_dhi, layout.sub_chunk, layout.tile_b0, layout.grp_b0, X,
+    ).reshape(-1, B)

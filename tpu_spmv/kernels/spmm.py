@@ -193,3 +193,211 @@ def spmm_ranked(
         y = sums[: nc * B].reshape(nc, B, LANES)
     # (nc, B, 128) -> (nc*128, B) row-major.
     return y.transpose(0, 2, 1).reshape(nc * LANES, B)[: layout.m]
+
+
+def _make_spmm_windowed_kernel(
+    tile_k: int, rank_nb: int, B: int, win_w: int, num_tiles: int,
+    loop: bool = False,
+):
+    """HBM-windowed SpMM: X stays in HBM (staged block-major, column-
+    minor as in spmm_ranked); each grid step DMAs its tile's window —
+    win_w x-blocks = win_w*B staged rows — into a double-buffered VMEM
+    scratch while the previous step computes. Removes the VMEM residency
+    cap on n*B (the resident kernel stages all of X in VMEM)."""
+    subs_per_tile = tile_k // SUBLANES
+    npairs = max((rank_nb + 1) // 2, 1)
+
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _sub_loop
+
+    tiles_per_block, _ = _meta_block(subs_per_tile)
+
+    def kernel(
+        tile_b0, sub_b0, sub_dlo, sub_dhi,
+        vals_ref, lcols_ref, x_hbm, part_ref, xwin, sems,
+    ):
+        t = pl.program_id(0)
+        moff = jax.lax.rem(t, tiles_per_block) * subs_per_tile
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+
+        def win_dma(which_slot, which_tile):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile_b0[which_tile] * B, win_w * B), :],
+                xwin.at[which_slot],
+                sems.at[which_slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            win_dma(nslot, t + 1).start()
+
+        win_dma(slot, t).wait()
+        w0 = tile_b0[t]
+
+        def body(s):
+            lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.int32
+            )
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            idx = jax.lax.bitwise_and(lcols, LANES - 1)
+            sel = jax.lax.shift_right_logical(lcols, 7)
+            b0 = sub_b0[moff + s] - w0
+            dlo = sub_dlo[moff + s]
+            dhi = sub_dhi[moff + s]
+            bases = [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dlo, 8 * r), 255
+                )
+                for r in range(4)
+            ] + [
+                b0 + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(dhi, 8 * r), 255
+                )
+                for r in range(4)
+            ]
+            accs = [jnp.zeros((SUBLANES, LANES), jnp.float32)] * B
+            for p in range(npairs):
+                wins = [
+                    xwin[slot, pl.ds((bases[r] + 2 * p) * B, 2 * B), :]
+                    for r in range(SUBLANES)
+                ]
+                for b in range(B):
+                    xw0 = jnp.concatenate(
+                        [w[b : b + 1] for w in wins], axis=0
+                    )
+                    xw1 = jnp.concatenate(
+                        [w[B + b : B + b + 1] for w in wins], axis=0
+                    )
+                    g0 = jnp.take_along_axis(
+                        xw0, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    g1 = jnp.take_along_axis(
+                        xw1, idx, axis=1, mode="promise_in_bounds"
+                    )
+                    if rank_nb == 2:
+                        accs[b] = jnp.where(sel == 0, g0, g1)
+                    else:
+                        accs[b] = (
+                            accs[b]
+                            + jnp.where(sel == 2 * p, g0, 0.0)
+                            + jnp.where(sel == 2 * p + 1, g1, 0.0)
+                        )
+            part = jnp.concatenate(
+                [
+                    jnp.sum(vals * accs[b], axis=0, keepdims=True)
+                    for b in range(B)
+                ],
+                axis=0,
+            )
+            part_ref[pl.ds(s * B, B), :] = part
+
+        _sub_loop(subs_per_tile, 2 * npairs * B, body, force_loop=loop)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmm_ranked_windowed(
+    layout: RankedSlabs, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X with X streamed from HBM in per-tile windows.
+
+    Same results as spmm_ranked; choose this when the staged X (n*B
+    floats) does not fit the VMEM budget. Requires a layout built with
+    per-tile windows (win_w > 0, as for spmv_ranked_windowed). VMEM use
+    is O(tile_k + win_w*B), not O(n*B)."""
+    n, B = X.shape
+    total_k = int(layout.vals.shape[0])
+    tile_k = layout.tile_k
+    num_tiles = total_k // tile_k
+    win_w = layout.win_w
+    if win_w <= 0:
+        raise ValueError(
+            "layout has no per-tile windows (win_w == 0); rebuild via "
+            "RankedSlabs.from_csr before using the windowed kernel"
+        )
+
+    # Guard blocks: every window DMA reads win_w blocks from its base.
+    nblocks = _round_up(max(layout.n, LANES), LANES) // LANES + win_w
+    Xp = jnp.zeros((nblocks * LANES, B), jnp.float32)
+    Xp = jax.lax.dynamic_update_slice(Xp, X.astype(jnp.float32), (0, 0))
+    x2d = (
+        Xp.reshape(nblocks, LANES, B)
+        .transpose(0, 2, 1)
+        .reshape(nblocks * B, LANES)
+    )
+
+    subs_per_tile = tile_k // SUBLANES
+    from tpu_spmv.kernels.pallas_sell import _meta_block, _pad_meta
+
+    tpb, block_elems = _meta_block(subs_per_tile)
+    smem1d = pl.BlockSpec(
+        (block_elems,), lambda t, *_: (t // tpb,), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            smem1d, smem1d, smem1d,
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k, LANES), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # staged X, HBM-resident
+        ],
+        out_specs=pl.BlockSpec(
+            (subs_per_tile * B, LANES), lambda t, *_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_w * B, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    partials = pl.pallas_call(
+        _make_spmm_windowed_kernel(
+            tile_k, layout.rank_nb, B, win_w, num_tiles, loop=interpret
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.num_subtiles * B, LANES), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.padded_nnz * B,
+            bytes_accessed=layout.hbm_bytes + 4 * (n + layout.m) * B,
+            transcendentals=0,
+        ),
+    )(
+        layout.tile_b0,
+        _pad_meta(layout.sub_b0, num_tiles, subs_per_tile, tpb),
+        _pad_meta(layout.sub_dlo, num_tiles, subs_per_tile, tpb),
+        _pad_meta(layout.sub_dhi, num_tiles, subs_per_tile, tpb),
+        layout.vals, layout.lcols, x2d,
+    )
+
+    nc = layout.num_chunks
+    q = layout.chunk_q
+    if q:
+        y = (
+            partials[: nc * q * B]
+            .reshape(nc, q, B, LANES)
+            .sum(axis=1)
+        )
+    else:
+        seg = jnp.repeat(layout.sub_chunk, B) * B + jnp.tile(
+            jnp.arange(B, dtype=layout.sub_chunk.dtype),
+            layout.num_subtiles,
+        )
+        sums = jax.ops.segment_sum(
+            partials, seg, num_segments=(nc + 1) * B, indices_are_sorted=False
+        )
+        y = sums[: nc * B].reshape(nc, B, LANES)
+    return y.transpose(0, 2, 1).reshape(nc * LANES, B)[: layout.m]

@@ -380,6 +380,18 @@ def lower_solve(
         b_scale = layout.b_scale
     if layout.ranked is not None:
         return _lower_solve_ranked(layout, b_scale, interpret)
+    x_pad = lower_solve_blocks(slabs, b_scale, interpret)
+    return x_pad.reshape(-1)[layout.pad_index]
+
+
+def lower_solve_blocks(
+    slabs: SellSlabs, b_scale: jax.Array, interpret: bool = False,
+) -> jax.Array:
+    """Chunk-sequential lower solve over pre-built strict-L slabs (the
+    dynamic-gather kernel); returns x as (num_chunks+1, 128) padded
+    blocks WITHOUT the pad_index gather. The distributed solve
+    (dist/sts.py) calls this per shard inside shard_map, where the
+    host-side pad_index does not exist."""
     total_k = int(slabs.vals.shape[0])
     from tpu_spmv.formats.sell import pick_tile_k
 
@@ -433,7 +445,7 @@ def lower_solve(
       _pad_meta(sub_chunk_f, num_tiles, subs_per_tile, tpb),
       slabs.vals, slabs.cols, b_scale)
 
-    return x_pad.reshape(-1)[layout.pad_index]
+    return x_pad
 
 
 def lower_solve_reference(sys: TriangularSystem, b: np.ndarray) -> np.ndarray:
