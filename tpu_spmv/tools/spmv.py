@@ -46,7 +46,7 @@ def main(argv=None):
     ap.add_argument(
         "--kernel", default="auto",
         choices=("auto", "sell", "ranked", "segsum", "bcoo", "dia",
-                 "striped"),
+                 "striped", "packed"),
     )
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
@@ -231,6 +231,15 @@ def main(argv=None):
         fn = functools.partial(spmv_dia, interpret=interp)
         print(f"DIA: {layout.num_diagonals} diagonals, "
               f"fill {layout.padding_ratio:.2f}x")
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "packed":
+        from tpu_spmv.formats.packed import PackedRanked
+        from tpu_spmv.kernels.packed import spmv_packed
+
+        layout = PackedRanked.from_csr(ck.matrix)
+        fn = functools.partial(spmv_packed, interpret=interp)
+        print(f"packed mixed-height slabs: pad "
+              f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}")
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "striped":
         from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
