@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 on-chip measurement batch. Run with the axon TPU tunnel up:
+#   bash results/run_r3_tpu.sh
+# Each stage is independent and appends/overwrites its own artifact, so
+# a tunnel drop mid-run loses only the current stage (the sweep CSV is
+# resumable by design).
+set -x
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+# 1. Flagship bench (ranked vs packed head-to-head; prints one JSON line).
+timeout 1800 python bench.py 2>results/bench_r3_stderr.txt \
+  | tee results/bench_r3.json
+
+# 2. Bench-scale sweep, auto-planned kernels (sigma + striped/dia/binned
+#    routing all engaged) + the segsum baseline.
+timeout 5400 python -m tpu_spmv.tools.sweep \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --kernels auto segsum
+
+# 3. BCOO vendor datum (VERDICT r2 #8): jax.experimental.sparse rows for
+#    the same suite — slow is fine, that IS the datum.
+timeout 5400 python -m tpu_spmv.tools.sweep \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --kernels bcoo
+
+# 4. Packed mixed-height rows for the regular suite (roofline lever).
+timeout 3600 python -m tpu_spmv.tools.sweep \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --kernels packed
+
+# 5. Scattered beyond the VMEM x-budget: >=16M-col matrix through the
+#    column-striped kernel (VERDICT r2 #4), one on-chip datapoint.
+timeout 3600 python results/scattered_16m_r3.py \
+  | tee results/scattered_16m_r3.txt
+
+# 6. Weak scaling D=1..8 (simulated mesh; ICI model from hw constants).
+timeout 1800 python -m tpu_spmv.tools.scaling --weak \
+  --out results/weak_scaling_r3.csv

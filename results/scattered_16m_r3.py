@@ -1,0 +1,74 @@
+"""On-chip datapoint: a scattered matrix whose x exceeds the VMEM budget
+runs a non-segsum kernel (VERDICT r2 next #4).
+
+16.8M columns: x alone is 64 MB — past the resident kernels' VMEM
+budget, with no band locality for the HBM-windowed kernel. The
+column-striped multi-pass kernel (kernels/striped.py) cuts the columns
+into VMEM-sized stripes and accumulates y over passes.
+
+Row density 160/row (the vas_stokes/packing class of the reference's
+set, helpers/params.txt): binned slots need several entries per
+(chunk, bin) to amortize the 128-lane slot rows — ultra-sparse
+scattered rows (<=8/row at this width) stay on segsum by design
+(tune/model.py routes them there; the fill floor is 128/entries-per-
+bin, a measured property of the format, not a bug).
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import bench_spmv, validate
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
+
+    m, n, per_row = 131_072, 16_777_216, 160
+    rng = np.random.default_rng(0)
+    indptr = np.arange(0, m * per_row + 1, per_row, dtype=np.int64)
+    indices = rng.integers(0, n, size=m * per_row, dtype=np.int64)
+    indices = np.sort(indices.reshape(m, per_row), axis=1).reshape(-1)
+    data = rng.standard_normal(m * per_row).astype(np.float32)
+    mat = CSRMatrix(
+        indptr.astype(np.int64), indices.astype(np.int32), data, (m, n)
+    )
+
+    # Pick the bin width by measured fill on a 64-chunk row sample.
+    sample = CSRMatrix(
+        mat.indptr[: 64 * 128 + 1], mat.indices[: mat.indptr[64 * 128]],
+        mat.data[: mat.indptr[64 * 128]], (64 * 128, n),
+    )
+    best_w, best_pad = 16, float("inf")
+    for w in (16, 32, 64):
+        try:
+            s = StripedRanked.from_csr(sample, bin_blocks=w)
+        except ValueError:
+            continue
+        if s.padding_ratio < best_pad:
+            best_w, best_pad = w, s.padding_ratio
+
+    lay = StripedRanked.from_csr(mat, bin_blocks=best_w)
+    print(
+        f"W={best_w} stripes={lay.num_stripes} stripe_cols="
+        f"{lay.stripe_cols} pad={lay.padding_ratio:.2f} "
+        f"rank_nb={lay.rank_nb}",
+        file=sys.stderr,
+    )
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_striped(lay, jnp.asarray(x)))
+    wrong, rel = validate(y, mat.matvec(x))
+    res = bench_spmv(spmv_striped, lay, jnp.asarray(x), reps_lo=2, reps_hi=12)
+    print(
+        f"platform={jax.devices()[0].platform} wrong={wrong} rel={rel:.1e} "
+        f"gflops={res.gflops:.2f} gnnzs={res.gnnzs:.2f} "
+        f"time_min={res.time_min:.4f}s"
+    )
+    assert wrong == 0
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,13 @@ def main(argv=None):
                             )
                             fn = spmv_striped
                             pad, nb = lay.padding_ratio, lay.rank_nb
+                        elif kern == "packed":
+                            from tpu_spmv.formats.packed import PackedRanked
+                            from tpu_spmv.kernels.packed import spmv_packed
+
+                            lay = PackedRanked.from_csr(mat_l)
+                            fn = spmv_packed
+                            pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
                             lay = BCOOLayout.from_csr(mat_l)
                             fn = spmv_bcoo
