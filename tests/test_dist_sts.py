@@ -60,3 +60,19 @@ def test_sharded_solve_hybrid_mesh():
     lp = lay.device_put(mesh, axis)
     x_pad = np.asarray(sts_solve_sharded(lp, mesh, axis))
     assert _rel(x_pad[pad_index], np.ones(mat.m)) < 1e-5
+
+
+def test_sharded_solve_many_packs_ls():
+    """LS ordering on a banded system yields many 128-padded packs:
+    shard boundaries land mid-pack-sequence and late shards hold mostly
+    padding — alignment and the pad-row identity solve must hold."""
+    mesh = _mesh_or_skip(4)
+    mat = random_banded(900, 25, 5, seed=7)
+    sys = build_sts(mat, order_type="LS")
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(mat.m).astype(np.float32)
+    x_ref = lower_solve_reference(sys, b)
+    lay, pad_index = ShardedLowerSolve.build(sys, b, 4)
+    lp = lay.device_put(mesh)
+    x_pad = np.asarray(sts_solve_sharded(lp, mesh))
+    assert _rel(x_pad[pad_index], x_ref) < 1e-5

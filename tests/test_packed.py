@@ -71,3 +71,34 @@ def test_packed_two_ends_per_subtile():
     x = np.random.default_rng(2).standard_normal(mat.n).astype(np.float32)
     y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
     assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_packed_tiny_single_chunk():
+    """m < 128: one chunk, one partial row, carry never crosses."""
+    mat = random_banded(90, 10, 4, seed=9)
+    lay = PackedRanked.from_csr(mat)
+    x = np.random.default_rng(9).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_packed_empty_rows():
+    """Rows with zero nonzeros still get MIN_KC slots and solve to 0."""
+    mat = random_banded(400, 20, 5, seed=10)
+    # Zero out two chunks' worth of rows structurally.
+    indptr = mat.indptr.copy()
+    keep = np.ones(mat.nnz, bool)
+    lo, hi = mat.indptr[128], mat.indptr[256]
+    keep[lo:hi] = False
+    lens = np.diff(mat.indptr)
+    lens[128:256] = 0
+    indptr = np.concatenate([[0], np.cumsum(lens)]).astype(mat.indptr.dtype)
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    mat2 = CSRMatrix(indptr, mat.indices[keep], mat.data[keep], mat.shape)
+    lay = PackedRanked.from_csr(mat2)
+    x = np.random.default_rng(11).standard_normal(mat2.n).astype(np.float32)
+    y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    ref = mat2.matvec(x)
+    assert np.all(y[128:256] == 0.0)
+    assert _rel(y, ref) < 1e-6

@@ -55,3 +55,26 @@ def test_striped_rejects_single_stripe():
     mat = random_general(1024, 6, seed=1)
     with pytest.raises(ValueError, match="one stripe"):
         StripedRanked.from_csr(mat, stripe_cols=2048)
+
+
+def test_striped_ragged_last_stripe():
+    """n just over one stripe: the second stripe is nearly empty."""
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    rng = np.random.default_rng(12)
+    m, n, per_row = 600, 1100, 5
+    sc = 1024  # stripe width: second stripe covers only 76 columns
+    indptr = np.arange(0, m * per_row + 1, per_row, dtype=np.int64)
+    indices = np.sort(
+        rng.integers(0, n, size=(m, per_row)), axis=1
+    ).reshape(-1)
+    data = rng.standard_normal(m * per_row).astype(np.float32)
+    mat = CSRMatrix(indptr, indices.astype(np.int32), data, (m, n))
+    lay = StripedRanked.from_csr(mat, stripe_cols=sc, bin_blocks=2)
+    assert lay.num_stripes == 2
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_striped(lay, jnp.asarray(x), interpret=True))
+    assert (
+        np.linalg.norm(y - mat.matvec(x)) / np.linalg.norm(mat.matvec(x))
+        < 1e-6
+    )
