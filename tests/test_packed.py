@@ -102,3 +102,19 @@ def test_packed_empty_rows():
     ref = mat2.matvec(x)
     assert np.all(y[128:256] == 0.0)
     assert _rel(y, ref) < 1e-6
+
+
+def test_packed_grouped_matches_delta():
+    """Grouped-window packed kernel (G absolute SMEM bases) reproduces
+    the packed-delta kernel exactly on a stencil matrix."""
+    from tpu_spmv.bench.matrices import laplacian_2d
+
+    mat = laplacian_2d(48)
+    x = np.random.default_rng(13).standard_normal(mat.n).astype(np.float32)
+    lg = PackedRanked.from_csr(mat, allow_groups=True)
+    ld = PackedRanked.from_csr(mat, allow_groups=False)
+    assert lg.group_code != 0 and ld.group_code == 0
+    yg = np.asarray(spmv_packed(lg, jnp.asarray(x), interpret=True))
+    yd = np.asarray(spmv_packed(ld, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(yg, yd)
+    assert _rel(yg, mat.matvec(x)) < 1e-6

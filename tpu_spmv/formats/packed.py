@@ -50,6 +50,7 @@ from tpu_spmv.formats.sell import (
     SUBLANES,
     _aligned_slots,
     _round_up,
+    group_windows,
     pick_tile_k,
 )
 
@@ -84,21 +85,32 @@ class PackedRanked:
     num_chunks: int
     rank_nb: int
     tile_k: int
+    # Grouped absolute window bases (see sell.group_windows); the
+    # grouped kernel replaces the 8-load packed-delta unpack with G
+    # scalar reads + G loads. group_code == 0 disables grouping.
+    grp_b0: jax.Array = None
+    group_code: int = 0
 
     def tree_flatten(self):
         children = (
             self.vals, self.lcols, self.sub_b0, self.sub_dlo,
-            self.sub_dhi, self.bmeta, self.out_row,
+            self.sub_dhi, self.bmeta, self.out_row, self.grp_b0,
         )
         aux = (
             self.m, self.n, self.nnz, self.num_chunks, self.rank_nb,
-            self.tile_k,
+            self.tile_k, self.group_code,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:7], *aux[:6], grp_b0=children[7],
+                   group_code=aux[6])
+
+    @property
+    def groups(self) -> tuple:
+        """Static sublane->group map decoded from group_code."""
+        return tuple((self.group_code >> (4 * r)) & 15 for r in range(SUBLANES))
 
     @property
     def num_subtiles(self) -> int:
@@ -123,7 +135,7 @@ class PackedRanked:
 
     @classmethod
     def from_csr(
-        cls, mat: CSRMatrix, tile_k: int = 2048,
+        cls, mat: CSRMatrix, tile_k: int = 2048, allow_groups: bool = True,
     ) -> "PackedRanked":
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
@@ -162,10 +174,25 @@ class PackedRanked:
         tile_min[tile_min == np.iinfo(np.int64).max] = 0
         sub_base = np.where(empty, tile_min[:, None], sub_base)
 
+        # Grouped absolute window bases (same machinery as RankedSlabs:
+        # the grouping is a pure function of per-sublane window extents,
+        # sell.group_windows — mixed chunk heights do not change it).
+        real = cols >= 0
+        group_code = 0
+        grp_b0 = np.zeros(0, np.int32)
+        if allow_groups and S:
+            hi_units = np.where(real, units, -1).reshape(
+                S, SUBLANES, LANES
+            ).max(axis=2)
+            hi_units = np.where(hi_units < 0, sub_base, hi_units)
+            rank_nb0 = int((hi_units - sub_base).max()) + 1
+            sub_base, grp_b0, group_code = group_windows(
+                sub_base, hi_units, rank_nb0
+            )
+
         base_cols = np.repeat(
             sub_base.reshape(-1), LANES
         ).reshape(total_k, LANES)
-        real = cols >= 0
         lcols = np.where(real, cols - (base_cols << 7), 0)
         rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
         assert lcols.min() >= 0
@@ -229,4 +256,6 @@ class PackedRanked:
             num_chunks=num_chunks,
             rank_nb=rank_nb,
             tile_k=tile_eff,
+            grp_b0=jnp.asarray(grp_b0),
+            group_code=group_code,
         )

@@ -374,6 +374,85 @@ def _save_layout(layout, path, matrix: CSRMatrix | None = None,
     )
 
 
+def group_windows(sub_base, hi_units, rank_nb0: int, group_plan=None,
+                  group_plan_budget=None):
+    """Greedily merge sublanes whose gather windows always coincide.
+
+    sub_base / hi_units: (S, 8) lowest/highest x block touched by each
+    sublane of each sub-tile. Returns (sub_base_grouped, grp_b0,
+    group_code): sub_base rewritten to each sublane's GROUP minimum (all
+    downstream window-relative metadata becomes group-relative), grp_b0
+    the sub-tile-major (S*G,) absolute base per group, and group_code
+    packing G<<32 plus 4 bits of group id per sublane. Merges never
+    widen the paired-load read extent (see RankedSlabs docstring); with
+    group_plan, the given partition is validated against
+    group_plan_budget instead (the multi-shard shared-plan path).
+
+    Used by both RankedSlabs (quantized slabs) and PackedRanked (mixed
+    heights) — the grouping is a pure function of the window extents and
+    never cares which chunk a sublane belongs to.
+    """
+    S = sub_base.shape[0]
+    # Merges may not widen the read extent: paired loads round the
+    # budget to 2 blocks, except rank-1 layouts (binned W=1) whose
+    # single-row-load fast path must survive, so only exactly-coincident
+    # windows merge there.
+    target = 1 if rank_nb0 == 1 else 2 * max((rank_nb0 + 1) // 2, 1)
+    if group_plan is not None:
+        members = [list(mem) for mem in group_plan]
+        covered = sorted(r for mem in members for r in mem)
+        if covered != list(range(SUBLANES)):
+            raise ValueError(
+                f"group_plan {group_plan} is not a partition of "
+                f"the {SUBLANES} sublanes"
+            )
+        budget = (
+            group_plan_budget if group_plan_budget is not None else target
+        )
+        for mem in members:
+            ext = int(
+                (hi_units[:, mem].max(axis=1)
+                 - sub_base[:, mem].min(axis=1)).max()
+            )
+            if ext >= budget:
+                raise ValueError(
+                    f"group_plan member {tuple(mem)} spans {ext + 1} "
+                    f"blocks, past the {budget}-block read budget "
+                    "for this shard"
+                )
+    else:
+        med = np.median(
+            sub_base - sub_base.min(axis=1, keepdims=True), axis=0
+        )
+        order = np.argsort(med, kind="stable")
+        members = [[int(order[0])]]
+        glo = sub_base[:, order[0]].copy()
+        ghi = hi_units[:, order[0]].copy()
+        for r in order[1:]:
+            nlo = np.minimum(glo, sub_base[:, r])
+            nhi = np.maximum(ghi, hi_units[:, r])
+            if int((nhi - nlo).max()) < target:
+                members[-1].append(int(r))
+                glo, ghi = nlo, nhi
+            else:
+                members.append([int(r)])
+                glo = sub_base[:, r].copy()
+                ghi = hi_units[:, r].copy()
+    G = len(members)
+    gb = np.empty_like(sub_base)
+    gmat = np.empty((G, S), np.int64)
+    group_code = G << 32
+    for gi, mem in enumerate(members):
+        gmin = sub_base[:, mem].min(axis=1)
+        gmat[gi] = gmin
+        for r in mem:
+            gb[:, r] = gmin
+            group_code |= gi << (4 * r)
+    # Sub-tile-major (S, G) so the kernel's tile-blocked SMEM slice is
+    # contiguous (subs_per_tile * G words per tile).
+    return gb, gmat.T.reshape(-1).astype(np.int32), group_code
+
+
 class LayoutCacheMismatch(ValueError):
     """A cached layout artifact does not match the requested matrix or
     layout configuration. A distinct type so callers with build
@@ -774,66 +853,10 @@ class RankedSlabs:
             # SMEM. Measured after the fix: W=8 grouped at 50k rows
             # compiles in 5s and runs 15% faster than packed.)
         if want_groups:
-            # Merges may not widen the read extent: paired loads round
-            # the budget to 2 blocks, except rank-1 layouts (binned W=1)
-            # whose single-row-load fast path must survive, so only
-            # exactly-coincident windows merge there.
-            target = 1 if rank_nb0 == 1 else 2 * max((rank_nb0 + 1) // 2, 1)
-            if group_plan is not None:
-                members = [list(mem) for mem in group_plan]
-                covered = sorted(r for mem in members for r in mem)
-                if covered != list(range(SUBLANES)):
-                    raise ValueError(
-                        f"group_plan {group_plan} is not a partition of "
-                        f"the {SUBLANES} sublanes"
-                    )
-                budget = (
-                    group_plan_budget if group_plan_budget is not None
-                    else target
-                )
-                for mem in members:
-                    ext = int(
-                        (hi_units[:, mem].max(axis=1)
-                         - sub_base[:, mem].min(axis=1)).max()
-                    )
-                    if ext >= budget:
-                        raise ValueError(
-                            f"group_plan member {tuple(mem)} spans {ext + 1} "
-                            f"blocks, past the {budget}-block read budget "
-                            "for this shard"
-                        )
-            else:
-                med = np.median(
-                    sub_base - sub_base.min(axis=1, keepdims=True), axis=0
-                )
-                order = np.argsort(med, kind="stable")
-                members = [[int(order[0])]]
-                glo = sub_base[:, order[0]].copy()
-                ghi = hi_units[:, order[0]].copy()
-                for r in order[1:]:
-                    nlo = np.minimum(glo, sub_base[:, r])
-                    nhi = np.maximum(ghi, hi_units[:, r])
-                    if int((nhi - nlo).max()) < target:
-                        members[-1].append(int(r))
-                        glo, ghi = nlo, nhi
-                    else:
-                        members.append([int(r)])
-                        glo = sub_base[:, r].copy()
-                        ghi = hi_units[:, r].copy()
-            G = len(members)
-            gb = np.empty_like(sub_base)
-            gmat = np.empty((G, S), np.int64)
-            group_code = G << 32
-            for gi, mem in enumerate(members):
-                gmin = sub_base[:, mem].min(axis=1)
-                gmat[gi] = gmin
-                for r in mem:
-                    gb[:, r] = gmin
-                    group_code |= gi << (4 * r)
-            sub_base = gb  # all downstream metadata is group-relative
-            # Sub-tile-major (S, G) so the kernel's tile-blocked SMEM
-            # slice is contiguous (subs_per_tile * G words per tile).
-            grp_b0 = gmat.T.reshape(-1).astype(np.int32)
+            sub_base, grp_b0, group_code = group_windows(
+                sub_base, hi_units, rank_nb0,
+                group_plan=group_plan, group_plan_budget=group_plan_budget,
+            )
 
         # Local columns; padding slots point at the sublane window's first
         # entry (val=0 keeps them inert).
