@@ -30,7 +30,8 @@ def main():
     from tpu_spmv.reorder.rcm import rcm
     from tpu_spmv.tune.model import tpu_plan
 
-    mat = laplacian_2d(1024)  # 1.05M rows, 5.2M nnz
+    mat_raw = laplacian_2d(1024)  # 1.05M rows, 5.2M nnz
+    mat = mat_raw
     perm = None
     try:
         from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -90,6 +91,42 @@ def main():
                 kernel_name = "packed"
     except Exception as e:  # pragma: no cover - chip-dependent
         print(f"# packed candidate unavailable: {e!r}", file=sys.stderr)
+
+    # DIA candidate on the NATURAL ordering (structure detection, r3):
+    # a 5-point grid has constant diagonals before RCM — fill 1.00x,
+    # zero index traffic, no gather. The reference pipeline always RCMs
+    # because its CPU kernel needs the band; the TPU framework detects
+    # the stencil and skips the reorder that would destroy it.
+    try:
+        plan_raw = tpu_plan(mat_raw, assume_rcm=False)
+        if plan_raw.kernel == "dia":
+            from tpu_spmv.formats.dia import DiaSlabs
+            from tpu_spmv.kernels.dia import spmv_dia
+
+            dl = DiaSlabs.from_csr(mat_raw)
+            x_raw = np.random.default_rng(2).standard_normal(
+                mat_raw.n
+            ).astype(np.float32)
+            xj_raw = jnp.asarray(x_raw)
+            y_d = np.asarray(spmv_dia(dl, xj_raw))
+            w_d, r_d = validate(y_d, mat_raw.matvec(x_raw))
+            if w_d == 0:
+                d_res = bench_spmv(
+                    spmv_dia, dl, xj_raw,
+                    reps_lo=50, reps_hi=1050, samples=4,
+                )
+                print(
+                    f"# dia candidate (natural order): "
+                    f"{d_res.gflops:.1f} GFLOP/s "
+                    f"({dl.num_diagonals} diagonals, "
+                    f"fill {dl.padding_ratio:.2f}) vs {flag.gflops:.1f}",
+                    file=sys.stderr,
+                )
+                if d_res.time_min < flag.time_min:
+                    flag, layout, wrong, rel = d_res, dl, w_d, r_d
+                    kernel_name = "dia"
+    except Exception as e:  # pragma: no cover - chip-dependent
+        print(f"# dia candidate unavailable: {e!r}", file=sys.stderr)
 
     seg = SegsumLayout.from_csr(mat)
     base = bench_spmv(spmv_segsum, seg, xj, reps_lo=2, reps_hi=10)

@@ -124,18 +124,30 @@ def main(argv=None):
         from tpu_spmv.formats.sell import sigma_sort
 
         sorted_mat, sperm = sigma_sort(ck.matrix, sigma)
-        ck = type(ck)(
-            matrix=sorted_mat, perm=ck.perm, maps=ck.maps, k=ck.k,
-            sup_row_sizes=ck.sup_row_sizes,
+        # The sort changes chunk structure (slab heights, spans), so
+        # kernel/bin-width choices made pre-sort can be stale (ADVICE
+        # r2): re-plan on the sorted matrix — and keep the sort only if
+        # the re-planned cost improved (a planner-recommended sigma can
+        # still lose on the full matrix, e.g. uniform banded rows where
+        # sorting mixes distant rows into one chunk).
+        plan_s = (
+            tpu_plan(sorted_mat, assume_rcm=(k > 1))
+            if plan is not None else None
         )
-        out_perm = out_perm[sperm]
-        print(f"sigma={sigma} row sort applied")
-        if plan is not None:
-            # The sort changes chunk structure (slab heights, spans), so
-            # kernel/bin-width choices made pre-sort can be stale
-            # (ADVICE r2): re-plan on the matrix the layout will be
-            # built from (cheap — sampled).
-            plan = tpu_plan(ck.matrix, assume_rcm=(k > 1))
+        forced = args.sigma >= 0  # user-given sigma always applies
+        if forced or plan is None or plan_s.est_cost < plan.est_cost:
+            ck = type(ck)(
+                matrix=sorted_mat, perm=ck.perm, maps=ck.maps, k=ck.k,
+                sup_row_sizes=ck.sup_row_sizes,
+            )
+            out_perm = out_perm[sperm]
+            plan = plan_s if plan_s is not None else plan
+            print(f"sigma={sigma} row sort applied")
+        else:
+            print(
+                f"sigma={sigma} rejected after re-plan "
+                f"({plan_s.est_cost:.0f} >= {plan.est_cost:.0f})"
+            )
 
     if kernel == "auto":
         kernel = plan.kernel

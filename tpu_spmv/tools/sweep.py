@@ -141,12 +141,18 @@ def main(argv=None):
                                 # Planner-recommended SELL-C-sigma row
                                 # sort (rows only — x is unaffected,
                                 # validation goes through vperm), then
-                                # re-plan on the sorted structure.
-                                mat_l, sperm = sigma_sort(
+                                # re-plan on the sorted structure; keep
+                                # the sort only if the re-planned cost
+                                # actually improved (sorting a uniform
+                                # banded matrix can INCREASE binned fill
+                                # by mixing distant rows into one chunk).
+                                mat_s, sperm = sigma_sort(
                                     ck.matrix, plan.sigma
                                 )
-                                vperm = ck.perm[sperm]
-                                plan = tpu_plan(mat_l, assume_rcm=args.rcm)
+                                plan_s = tpu_plan(mat_s, assume_rcm=args.rcm)
+                                if plan_s.est_cost < plan.est_cost:
+                                    mat_l, plan = mat_s, plan_s
+                                    vperm = ck.perm[sperm]
                             kern, bb = plan.kernel, plan.bin_blocks
                         if kern == "sell":
                             lay = SellSlabs.from_csr(mat_l, bin_blocks=bb)
