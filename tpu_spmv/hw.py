@@ -25,6 +25,9 @@ class DeviceSpec:
     ici_bytes_per_s: float  # conservative per-link neighbor-exchange rate
     spmv_bytes_per_nnz: float = 17.0  # measured effective traffic of the
     # flagship layout (val4 + lcol2 + padding + x/y/partials), v5e r2
+    dcn_bytes_per_s: float = 12.5e9  # conservative per-host cross-slice
+    # rate (~100 Gbps NIC); the host-boundary halo pair rides this in
+    # the multi-host weak-scaling model (tools/scaling.py)
 
     @property
     def single_chip_nnzs(self) -> float:

@@ -62,14 +62,15 @@ def report(mat, n_devices: int) -> dict:
     }
 
 
-def _model_rates() -> tuple[float, float]:
-    """(single-chip nnz/s, ICI B/s) for the efficiency projection,
-    resolved per device_kind (tpu_spmv.hw). The v5e row reproduces the
-    r2 estimates: 48e9 nnz/s (bench.py-measured) and 45e9 B/s."""
+def _model_rates() -> tuple[float, float, float]:
+    """(single-chip nnz/s, ICI B/s, DCN B/s) for the efficiency
+    projection, resolved per device_kind (tpu_spmv.hw). The v5e row
+    reproduces the r2 estimates: 48e9 nnz/s (bench.py-measured) and
+    45e9 B/s."""
     from tpu_spmv.hw import device_spec
 
     s = device_spec()
-    return s.single_chip_nnzs, s.ici_bytes_per_s
+    return s.single_chip_nnzs, s.ici_bytes_per_s, s.dcn_bytes_per_s
 
 
 def weak_scaling(
@@ -100,16 +101,25 @@ def weak_scaling(
         mat = random_banded(base_rows * d, band, nnz_per_row, seed=0)
         mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
         lay = ShardedRanked.build(mat, d)
+        # >= 4 even devices: run the MULTI-HOST schedule — a (2, d/2)
+        # hybrid mesh whose host-boundary halo pair crosses DCN. This is
+        # the configuration BASELINE.md's >=70%-at->=2-hosts target is
+        # judged on; in-host pairs still ride ICI.
+        hosts = 2 if (d >= 4 and d % 2 == 0) else 1
         halo_bytes = 2 * lay.halo * 4
         exchange_bytes = halo_bytes if lay.halo else int(
             mat.n * (d - 1) / max(d, 1) * 4
         )
         local_nnz = mat.nnz / d
-        chip_nnzs, ici_bs = _model_rates()
+        chip_nnzs, ici_bs, dcn_bs = _model_rates()
         t_comp = local_nnz / chip_nnzs
-        t_comm = exchange_bytes / ici_bs if d > 1 else 0.0
+        # Pairwise exchanges run concurrently; the step is bound by the
+        # slowest link — the DCN boundary pair in the hybrid mesh.
+        link_bs = dcn_bs if hosts > 1 else ici_bs
+        t_comm = exchange_bytes / link_bs if d > 1 else 0.0
         row = {
             "devices": d,
+            "hosts": hosts,
             "rows": mat.m,
             "nnz": mat.nnz,
             "halo_rows": lay.halo,
@@ -121,19 +131,27 @@ def weak_scaling(
         }
         if execute and len(jax.devices()) >= d:
             import jax.numpy as jnp
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            mesh = make_row_mesh(jax.devices()[:d])
-            lp = lay.device_put(mesh)
+            if hosts > 1:
+                mesh = Mesh(
+                    np.asarray(jax.devices()[:d]).reshape(hosts, d // hosts),
+                    ("hosts", "rows"),
+                )
+                axis = ("hosts", "rows")
+            else:
+                mesh = make_row_mesh(jax.devices()[:d])
+                axis = "rows"
+            lp = lay.device_put(mesh, axis)
             x = np.random.default_rng(1).standard_normal(mat.n).astype(
                 np.float32
             )
             xp = np.zeros(lp.padded_m, np.float32)
             xp[: mat.n] = x
             xj = jax.device_put(
-                jnp.asarray(xp), NamedSharding(mesh, P("rows"))
+                jnp.asarray(xp), NamedSharding(mesh, P(axis))
             )
-            y = np.asarray(spmv_sharded(lp, xj, mesh))[: mat.m]
+            y = np.asarray(spmv_sharded(lp, xj, mesh, axis))[: mat.m]
             y_ref = mat.matvec(x)
             wrong = int(np.sum(np.abs(y - y_ref) > 0.01))
             rel = float(
