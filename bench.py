@@ -13,13 +13,16 @@ Timing uses the slope protocol (tpu_spmv/bench/harness.py) — the
 reference's naive per-call protocol is invalid through this TPU tunnel.
 """
 
+import functools
 import json
+import os
 import sys
 
 import numpy as np
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
@@ -30,7 +33,23 @@ def main():
     from tpu_spmv.reorder.rcm import rcm
     from tpu_spmv.tune.model import tpu_plan
 
-    mat_raw = laplacian_2d(1024)  # 1.05M rows, 5.2M nnz
+    # TPU_SPMV_BENCH_N: grid side (default 1024 = the 1.05M-row flagship);
+    # smaller values + the CPU backend give an end-to-end smoke test of
+    # this exact script (kernels run in interpret mode there).
+    N = int(os.environ.get("TPU_SPMV_BENCH_N", "1024"))
+    # JAX_PLATFORMS=cpu must be applied via jax.config BEFORE any backend
+    # initializes: this environment's sitecustomize registers the axon
+    # TPU plugin in every process, and default_backend() would try to
+    # build the TPU client (and hang if the tunnel is down) even when
+    # the env var asks for cpu (same reason as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    interp = jax.default_backend() == "cpu"
+    # CPU smoke runs can't afford 1050 interpret-mode reps.
+    reps = dict(reps_lo=2, reps_hi=6, samples=2) if interp else dict(
+        reps_lo=50, reps_hi=1050, samples=4
+    )
+    mat_raw = laplacian_2d(N)  # N=1024: 1.05M rows, 5.2M nnz
     mat = mat_raw
     perm = None
     try:
@@ -49,21 +68,21 @@ def main():
     if plan.kernel == "ranked":
         try:
             layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
-            fn = spmv_ranked
+            fn = functools.partial(spmv_ranked, interpret=interp)
         except ValueError:
             # Packed-delta span exceeded (the plan estimates rank on a
             # sampled sub-matrix, so a global outlier can slip past it,
             # ADVICE r2): same sell fallback as tools/spmv.py.
             layout = SellSlabs.from_csr(mat)
-            fn = spmv_sell
+            fn = functools.partial(spmv_sell, interpret=interp)
     else:
         layout = SellSlabs.from_csr(mat)
-        fn = spmv_sell
+        fn = functools.partial(spmv_sell, interpret=interp)
     y = np.asarray(fn(layout, xj))
     wrong, rel = validate(y, y_oracle)
     # One large reps differential upfront: skips the escalation ladder's
     # recompiles and keeps the slope well above the fetch-quantum jitter.
-    flag = bench_spmv(fn, layout, xj, reps_lo=50, reps_hi=1050, samples=4)
+    flag = bench_spmv(fn, layout, xj, **reps)
     kernel_name = plan.kernel
 
     # Packed mixed-height candidate (VERDICT r2 next #3): same rank
@@ -75,12 +94,11 @@ def main():
         from tpu_spmv.kernels.packed import spmv_packed
 
         pk = PackedRanked.from_csr(mat)
+        spmv_packed = functools.partial(spmv_packed, interpret=interp)
         y_p = np.asarray(spmv_packed(pk, xj))
         w_p, r_p = validate(y_p, y_oracle)
         if w_p == 0:
-            p_res = bench_spmv(
-                spmv_packed, pk, xj, reps_lo=50, reps_hi=1050, samples=4
-            )
+            p_res = bench_spmv(spmv_packed, pk, xj, **reps)
             print(
                 f"# packed candidate: {p_res.gflops:.1f} GFLOP/s "
                 f"pad={pk.padding_ratio:.2f} (vs {flag.gflops:.1f})",
@@ -104,6 +122,7 @@ def main():
             from tpu_spmv.kernels.dia import spmv_dia
 
             dl = DiaSlabs.from_csr(mat_raw)
+            spmv_dia = functools.partial(spmv_dia, interpret=interp)
             x_raw = np.random.default_rng(2).standard_normal(
                 mat_raw.n
             ).astype(np.float32)
@@ -111,10 +130,7 @@ def main():
             y_d = np.asarray(spmv_dia(dl, xj_raw))
             w_d, r_d = validate(y_d, mat_raw.matvec(x_raw))
             if w_d == 0:
-                d_res = bench_spmv(
-                    spmv_dia, dl, xj_raw,
-                    reps_lo=50, reps_hi=1050, samples=4,
-                )
+                d_res = bench_spmv(spmv_dia, dl, xj_raw, **reps)
                 print(
                     f"# dia candidate (natural order): "
                     f"{d_res.gflops:.1f} GFLOP/s "
