@@ -37,14 +37,9 @@ def main():
     # smaller values + the CPU backend give an end-to-end smoke test of
     # this exact script (kernels run in interpret mode there).
     N = int(os.environ.get("TPU_SPMV_BENCH_N", "1024"))
-    # JAX_PLATFORMS=cpu must be applied via jax.config BEFORE any backend
-    # initializes: this environment's sitecustomize registers the axon
-    # TPU plugin in every process, and default_backend() would try to
-    # build the TPU client (and hang if the tunnel is down) even when
-    # the env var asks for cpu (same reason as tests/conftest.py).
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-    interp = jax.default_backend() == "cpu"
+    from tpu_spmv.hw import interpret_mode
+
+    interp = interpret_mode()  # also pins a JAX_PLATFORMS=cpu request
     # CPU smoke runs can't afford 1050 interpret-mode reps.
     reps = dict(reps_lo=2, reps_hi=6, samples=2) if interp else dict(
         reps_lo=50, reps_hi=1050, samples=4

@@ -20,6 +20,12 @@ import numpy as np
 
 
 def main():
+    from tpu_spmv.hw import interpret_mode
+
+    interp = interpret_mode()  # pins a JAX_PLATFORMS=cpu request
+
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +33,20 @@ def main():
     from tpu_spmv.formats.csr import CSRMatrix
     from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
 
-    m, n, per_row = 131_072, 16_777_216, 160
+    spmv_striped = functools.partial(spmv_striped, interpret=interp)
+
+    import os
+
+    # Env-shrinkable for a CPU interpret-mode smoke of this exact script.
+    m = int(os.environ.get("SCAT_M", 131_072))
+    n = int(os.environ.get("SCAT_N", 16_777_216))
+    per_row = int(os.environ.get("SCAT_PER_ROW", 160))
+    # None = the kernel's VMEM-derived default (chip runs); the CPU
+    # smoke shrinks it alongside the matrix.
+    stripe_cols = (
+        int(os.environ["SCAT_STRIPE_COLS"])
+        if "SCAT_STRIPE_COLS" in os.environ else None
+    )
     rng = np.random.default_rng(0)
     indptr = np.arange(0, m * per_row + 1, per_row, dtype=np.int64)
     indices = rng.integers(0, n, size=m * per_row, dtype=np.int64)
@@ -38,20 +57,21 @@ def main():
     )
 
     # Pick the bin width by measured fill on a 64-chunk row sample.
+    sm = min(m, 64 * 128)
     sample = CSRMatrix(
-        mat.indptr[: 64 * 128 + 1], mat.indices[: mat.indptr[64 * 128]],
-        mat.data[: mat.indptr[64 * 128]], (64 * 128, n),
+        mat.indptr[: sm + 1], mat.indices[: mat.indptr[sm]],
+        mat.data[: mat.indptr[sm]], (sm, n),
     )
     best_w, best_pad = 16, float("inf")
     for w in (16, 32, 64):
         try:
-            s = StripedRanked.from_csr(sample, bin_blocks=w)
+            s = StripedRanked.from_csr(sample, stripe_cols=stripe_cols, bin_blocks=w)
         except ValueError:
             continue
         if s.padding_ratio < best_pad:
             best_w, best_pad = w, s.padding_ratio
 
-    lay = StripedRanked.from_csr(mat, bin_blocks=best_w)
+    lay = StripedRanked.from_csr(mat, stripe_cols=stripe_cols, bin_blocks=best_w)
     print(
         f"W={best_w} stripes={lay.num_stripes} stripe_cols="
         f"{lay.stripe_cols} pad={lay.padding_ratio:.2f} "

@@ -78,3 +78,20 @@ def test_striped_ragged_last_stripe():
         np.linalg.norm(y - mat.matvec(x)) / np.linalg.norm(mat.matvec(x))
         < 1e-6
     )
+
+
+def test_bench_spmv_rectangular_chaining():
+    """bench_spmv's fori chaining must work when m != n (the 16M-col
+    scattered datapoint benches the striped kernel on a wide matrix);
+    before r3 the y*a + x*b feedback required a square matrix."""
+    from functools import partial
+
+    from tpu_spmv.bench.harness import bench_spmv
+
+    mat = _wide_scattered(256, 4096, 6, seed=5)
+    lay = StripedRanked.from_csr(mat, stripe_cols=512, bin_blocks=2)
+    fn = partial(spmv_striped, interpret=True)
+    res = bench_spmv(fn, lay, jnp.asarray(
+        np.random.default_rng(2).standard_normal(mat.n).astype(np.float32)
+    ), reps_lo=1, reps_hi=3, samples=1, _depth=4)
+    assert res.time_min > 0 and res.nnz == mat.nnz

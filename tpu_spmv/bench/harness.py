@@ -58,9 +58,15 @@ def _loop_fn(spmv, reps):
     def run(layout, x):
         def body(i, xv):
             y = spmv(layout, xv)
-            # Nonlinear-ish feedback so XLA cannot hoist the SpMV out of
-            # the loop, while keeping magnitudes bounded.
-            return y * 0.125 + xv * 0.25
+            if y.shape == xv.shape:
+                # Nonlinear-ish feedback so XLA cannot hoist the SpMV
+                # out of the loop, while keeping magnitudes bounded.
+                return y * 0.125 + xv * 0.25
+            # Rectangular layouts (m != n, e.g. a wide scattered matrix
+            # through the striped kernel): fold y back through a scalar
+            # so each iteration still depends on the previous SpMV.
+            # 0.1 keeps x bounded away from zero as 0.25**k decays it.
+            return xv * 0.25 + (jnp.sum(y) * 1e-20 + 0.1)
         return jax.lax.fori_loop(0, reps, body, x)
 
     return run
@@ -87,7 +93,8 @@ def bench_spmv(
 ) -> BenchResult:
     """Slope-timed SpMV benchmark.
 
-    spmv: callable (layout, x) -> y with len(y) == len(x) (square matrix).
+    spmv: callable (layout, x) -> y; square and rectangular (m != n)
+    layouts both chain iterations data-dependently (see _loop_fn).
 
     The ~26ms fetch quantum has several-ms jitter, so the slope uses
     min-over-samples at each reps value and the reps gap adaptively grows

@@ -57,6 +57,30 @@ def spec_for_kind(kind: str | None) -> DeviceSpec:
     return _DEFAULT
 
 
+def interpret_mode() -> bool:
+    """True when kernels must run in Pallas interpret mode (CPU backend).
+
+    Also *applies* a CPU platform request: this environment's
+    sitecustomize registers the TPU plugin in every Python process and
+    overrides ``jax_platforms`` at import time, so ``JAX_PLATFORMS=cpu``
+    in the env alone is not enough — worse, probing
+    ``jax.default_backend()`` then tries to build the TPU client and
+    hangs whenever the device tunnel is unreachable. Re-pinning via
+    ``jax.config`` before the first backend init wins (the same trick as
+    tests/conftest.py), so call this before any jnp op.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # backend already initialized: fall through
+            pass
+    return jax.default_backend() == "cpu"
+
+
 @functools.lru_cache(maxsize=1)
 def device_spec() -> DeviceSpec:
     """Spec of the process's default device.

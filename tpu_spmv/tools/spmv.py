@@ -73,6 +73,13 @@ def main(argv=None):
                     "matrix must still be supplied for validation.")
     args = ap.parse_args(argv)
 
+    from tpu_spmv.hw import interpret_mode
+
+    # Pin the platform before the first jnp op: a JAX_PLATFORMS=cpu
+    # request must be applied via jax.config (hw.interpret_mode) or the
+    # process would try to build the TPU client.
+    interpret_mode()
+
     import jax.numpy as jnp
 
     from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
@@ -185,10 +192,12 @@ def main(argv=None):
     xj = jnp.asarray(x[col_perm])
     import functools
 
-    import jax
+    from tpu_spmv.hw import interpret_mode
 
-    # Pallas kernels need interpreter mode on the CPU backend.
-    interp = jax.default_backend() == "cpu"
+    # Pallas kernels need interpreter mode on the CPU backend (also
+    # applies a JAX_PLATFORMS=cpu request via jax.config — the env var
+    # alone is overridden by this environment's TPU plugin).
+    interp = interpret_mode()
     if kernel == "sell":
         layout = build_or_load(SellSlabs)
         fn = functools.partial(spmv_sell, interpret=interp)

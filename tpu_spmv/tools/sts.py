@@ -31,6 +31,10 @@ def main(argv=None):
                     help="skip the timed benchmark (CI / CPU runs)")
     args = ap.parse_args(argv)
 
+    from tpu_spmv.hw import interpret_mode
+
+    interpret = interpret_mode()  # pins JAX_PLATFORMS=cpu requests too
+
     from tpu_spmv.bench.harness import bench_spmv
     from tpu_spmv.sts.host import build_sts, check_error, compute_b
     from tpu_spmv.sts.solve import LowerSolveLayout, lower_solve
@@ -47,9 +51,6 @@ def main(argv=None):
     b = compute_b(sys_.lower)  # x_exact = ones
     layout = LowerSolveLayout.build(sys_, b)
 
-    import jax
-
-    interpret = jax.default_backend() == "cpu"
     x = np.asarray(lower_solve(layout, interpret=interpret))
     num_wrong = int(np.sum(np.abs(x - 1.0) > args.tol))
     print(f"Total Error: {check_error(x):g}")

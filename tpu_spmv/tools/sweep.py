@@ -93,6 +93,14 @@ def main(argv=None):
                     help="super-row size grid (reference grid run_epyc.py:24)")
     args = ap.parse_args(argv)
 
+    from tpu_spmv.hw import interpret_mode
+
+    # Must run before the first jnp op (CPU smoke runs would otherwise
+    # try to build the TPU client — see hw.interpret_mode).
+    interp = interpret_mode()
+
+    import functools
+
     import jax.numpy as jnp
 
     from tpu_spmv.bench import matrices as M
@@ -156,18 +164,18 @@ def main(argv=None):
                             kern, bb = plan.kernel, plan.bin_blocks
                         if kern == "sell":
                             lay = SellSlabs.from_csr(mat_l, bin_blocks=bb)
-                            fn = spmv_sell
+                            fn = functools.partial(spmv_sell, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.max_nb
                         elif kern == "ranked":
                             lay = RankedSlabs.from_csr(mat_l, bin_blocks=bb)
-                            fn = spmv_ranked
+                            fn = functools.partial(spmv_ranked, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "dia":
                             from tpu_spmv.formats.dia import DiaSlabs
                             from tpu_spmv.kernels.dia import spmv_dia
 
                             lay = DiaSlabs.from_csr(mat_l)
-                            fn = spmv_dia
+                            fn = functools.partial(spmv_dia, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.num_diagonals
                         elif kern == "striped":
                             from tpu_spmv.kernels.striped import (
@@ -177,14 +185,14 @@ def main(argv=None):
                             lay = StripedRanked.from_csr(
                                 mat_l, bin_blocks=bb if bb > 0 else 16
                             )
-                            fn = spmv_striped
+                            fn = functools.partial(spmv_striped, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "packed":
                             from tpu_spmv.formats.packed import PackedRanked
                             from tpu_spmv.kernels.packed import spmv_packed
 
                             lay = PackedRanked.from_csr(mat_l)
-                            fn = spmv_packed
+                            fn = functools.partial(spmv_packed, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
                             lay = BCOOLayout.from_csr(mat_l)
