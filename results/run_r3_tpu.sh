@@ -15,18 +15,18 @@ timeout 1800 python bench.py 2>results/bench_r3_stderr.txt \
 # 2. Bench-scale sweep, auto-planned kernels (sigma + striped/dia/binned
 #    routing all engaged) + the segsum baseline.
 timeout 5400 python -m tpu_spmv.tools.sweep \
-  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels auto segsum
 
 # 3. BCOO vendor datum (VERDICT r2 #8): jax.experimental.sparse rows for
 #    the same suite — slow is fine, that IS the datum.
 timeout 5400 python -m tpu_spmv.tools.sweep \
-  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels bcoo
 
 # 4. Packed mixed-height rows for the regular suite (roofline lever).
 timeout 3600 python -m tpu_spmv.tools.sweep \
-  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels packed
 
 # 5. Scattered beyond the VMEM x-budget: >=16M-col matrix through the
