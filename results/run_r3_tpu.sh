@@ -29,6 +29,10 @@ timeout 3600 python -m tpu_spmv.tools.sweep \
   --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels packed
 
+# 4b. SpMM datum through the public CLI (was a scratch script in r2).
+timeout 1800 python -m tpu_spmv.tools.spmm synthetic:lap2d_1024 20 \
+  --batch 8 --rcm always | tee results/spmm_r3.txt
+
 # 5. Scattered beyond the VMEM x-budget: >=16M-col matrix through the
 #    column-striped kernel (VERDICT r2 #4), one on-chip datapoint.
 timeout 3600 python results/scattered_16m_r3.py \

@@ -245,3 +245,23 @@ def test_weak_scaling_harness():
         if r["executed"]:
             assert r["num_wrong"] == 0
     assert any(r["executed"] for r in rows)
+
+
+def test_spmm_cli_validate_only(capsys):
+    """SpMM CLI: resident and windowed kernels both validate through the
+    driver protocol (net-new serving-shaped workload; SURVEY §2.2 has
+    no reference analog)."""
+    from tpu_spmv.tools import spmm
+
+    rc = spmm.main([
+        "synthetic:banded_1k", "4", "--batch", "3", "--rcm", "always",
+        "--validate-only",
+    ])
+    assert rc == 0
+    assert "Number Wrong: 0" in capsys.readouterr().out
+    rc = spmm.main([
+        "synthetic:banded_1k", "4", "--batch", "3", "--rcm", "always",
+        "--kernel", "windowed", "--validate-only",
+    ])
+    assert rc == 0
+    assert "Number Wrong: 0" in capsys.readouterr().out

@@ -1,0 +1,122 @@
+"""SpMM benchmark CLI — Y = A @ X with B right-hand sides.
+
+Net-new vs the reference (its drivers are single-vector SpMV only;
+SURVEY.md §2.2): multi-vector products are the serving-shaped workload
+on TPU, where the slab traffic amortizes across columns. Mirrors the
+tools/spmv.py driver protocol — load, RCM, build the rank-windowed
+layout, run the timed kernel, print `TimeMin/TimeMax/TimeAvg` and
+validate each column against the serial oracle (spmv-csrk/spmv.cpp:
+168-211's keys and tolerance).
+
+Usage:
+  python -m tpu_spmv.tools.spmm matrix.csr [num_runs] --batch 8 \
+      [--kernel auto|resident|windowed] [--rcm auto|always|never]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("input", help=".csr/.csr3/.mtx file, or synthetic:<name>")
+    ap.add_argument("num_runs", nargs="?", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="number of right-hand-side columns B")
+    ap.add_argument(
+        "--kernel", default="auto", choices=("auto", "resident", "windowed"),
+        help="auto picks resident when the staged X fits the VMEM "
+        "budget, else the HBM-windowed variant",
+    )
+    ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
+    ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--validate-only", action="store_true")
+    args = ap.parse_args(argv)
+
+    from tpu_spmv.hw import interpret_mode
+
+    interp = interpret_mode()  # pins a JAX_PLATFORMS=cpu request too
+
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.spmm import spmm_ranked, spmm_ranked_windowed
+    from tpu_spmv.tools.spmv import load_input
+    from tpu_spmv.tune.model import tpu_plan
+
+    mat = load_input(args.input)
+    perm = None
+    if args.rcm != "never" and mat.m == mat.n:
+        apply_rcm = args.rcm == "always" or tpu_plan(mat).needs_rcm
+        if apply_rcm:
+            from tpu_spmv.reorder import rcm as rcm_fn
+
+            perm = rcm_fn(mat.indptr, mat.indices)
+            mat = mat.permuted(perm)
+            print("RCM applied")
+
+    B = args.batch
+    layout = RankedSlabs.from_csr(mat)
+    kernel = args.kernel
+    if kernel == "auto":
+        from tpu_spmv.hw import device_spec
+
+        # The resident kernel stages X as (n_pad, B) f32 in VMEM next to
+        # the double-buffered slab tiles; same half-budget rule as
+        # resident_x_fits, scaled by B.
+        from tpu_spmv.formats.sell import LANES
+        from tpu_spmv.kernels.pallas_sell import _round_up
+
+        n_pad = _round_up(max(mat.n, LANES), LANES) + 2 * max(
+            (layout.rank_nb + 1) // 2, 1
+        ) * LANES
+        staged = 4 * n_pad * B + 2 * 4 * (layout.tile_k or 2048) * LANES
+        kernel = (
+            "resident" if staged <= device_spec().vmem_bytes // 2
+            else "windowed"
+        )
+        print(f"auto kernel: {kernel} (staged X {4 * n_pad * B / 2**20:.1f} MB)")
+    fn = functools.partial(
+        spmm_ranked if kernel == "resident" else spmm_ranked_windowed,
+        interpret=interp,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((mat.n, B)).astype(np.float32)
+    Xj = jnp.asarray(X)
+    Y = np.asarray(fn(layout, Xj))
+    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))
+    rel = float(
+        np.linalg.norm(Y - Y_ref) / max(np.linalg.norm(Y_ref), 1e-30)
+    )
+    if args.validate_only:
+        print(f"Number Wrong: {wrong} ")
+        print(f"RelL2: {rel:.3g}")
+        return 0 if wrong == 0 else 1
+
+    res = bench_spmv(
+        fn, layout, Xj, reps_hi=8 + max(args.num_runs, 20),
+        nnz=mat.nnz * B,  # one SpMM moves nnz*B FMAs
+    )
+    print(res.summary(), end="")
+    # Per-nnz slab traffic amortizes over B columns; x/y traffic doesn't.
+    bytes_per_val = layout.hbm_bytes / max(mat.nnz, 1) / B
+    roof = roofline_nnzs(bytes_per_val)
+    print(
+        f"vals/s: {res.gnnzs * 1e9:.4g} "
+        f"({100 * res.gnnzs * 1e9 / roof:.0f}% of roofline) B={B}"
+    )
+    print(f"Number Wrong: {wrong} ")
+    print(f"RelL2: {rel:.3g}")
+    return 0 if wrong == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
