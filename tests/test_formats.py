@@ -152,3 +152,15 @@ def test_sigma_sort_reduces_padding():
     np.testing.assert_allclose(
         sorted_mat.matvec(x), mat.matvec(x)[perm], rtol=1e-6
     )
+
+
+def test_csr_diagonal():
+    import numpy as np
+
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    m = CSRMatrix(
+        np.array([0, 2, 3, 3]), np.array([0, 2, 1]),
+        np.array([5.0, 7.0, 9.0], dtype=np.float32), (3, 3),
+    )
+    assert np.array_equal(m.diagonal(), [5.0, 9.0, 0.0])

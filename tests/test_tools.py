@@ -265,3 +265,15 @@ def test_spmm_cli_validate_only(capsys):
     ])
     assert rc == 0
     assert "Number Wrong: 0" in capsys.readouterr().out
+
+
+def test_solve_cli_cg_and_pcg(capsys):
+    """CG/PCG solver CLI over the sharded SpMV (net-new: the reference
+    never consumes SpMV outside its benchmark loop)."""
+    from tpu_spmv.tools import solve
+
+    assert solve.main(["synthetic:banded_1k", "--iters", "80"]) == 0
+    assert "rms_residual" in capsys.readouterr().out
+    assert solve.main(
+        ["synthetic:banded_1k", "--iters", "80", "--pcg"]
+    ) == 0

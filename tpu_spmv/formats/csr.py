@@ -138,6 +138,19 @@ class CSRMatrix:
         y[:] = sums.astype(np.float32)
         return y
 
+    def diagonal(self) -> np.ndarray:
+        """A[i, i] as a dense (m,) float32 vector (0 where absent).
+
+        Jacobi preconditioning (tools/solve.py) and scaling diagnostics.
+        """
+        rows = np.repeat(
+            np.arange(self.m, dtype=np.int64), self.row_lengths
+        )
+        hit = rows == self.indices
+        out = np.zeros(self.m, np.float32)
+        out[rows[hit]] = self.data[hit]
+        return out
+
     def permuted(self, perm: np.ndarray) -> "CSRMatrix":
         """Symmetric permutation A[perm,:][:,perm] with per-row column sort.
 
