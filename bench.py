@@ -22,7 +22,6 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate

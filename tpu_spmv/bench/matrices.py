@@ -139,30 +139,52 @@ def power_law(m: int, avg_nnz_per_row: float = 8, alpha: float = 1.3,
     return CSRMatrix.from_coo(all_rows, all_cols, all_vals, (m, m))
 
 
-def suite(scale: str = "small") -> dict:
-    """Named matrix families mirroring the reference's benchmark set roles."""
+def suite_factories(scale: str = "small") -> dict:
+    """Name -> zero-arg constructor for the synthetic suite (nothing is
+    built until a factory is called — CLI name lookups stay cheap)."""
     if scale == "tiny":
         return {
-            "lap2d_32": laplacian_2d(32),
-            "banded_1k": random_banded(1000, 40, 8, seed=1),
-            "general_1k": random_general(1000, 6, seed=2),
+            "lap2d_32": lambda: laplacian_2d(32),
+            "banded_1k": lambda: random_banded(1000, 40, 8, seed=1),
+            "general_1k": lambda: random_general(1000, 6, seed=2),
         }
     if scale == "small":
         return {
-            "lap2d_256": laplacian_2d(256),
-            "lap3d_32": laplacian_3d(32),
-            "banded_100k": random_banded(100_000, 500, 16, seed=1),
-            "general_50k": random_general(50_000, 8, seed=2),
-            "powerlaw_100k": power_law(100_000, 8, seed=3),
+            "lap2d_256": lambda: laplacian_2d(256),
+            "lap3d_32": lambda: laplacian_3d(32),
+            "banded_100k": lambda: random_banded(100_000, 500, 16, seed=1),
+            "general_50k": lambda: random_general(50_000, 8, seed=2),
+            "powerlaw_100k": lambda: power_law(100_000, 8, seed=3),
         }
     if scale == "bench":
         # Sized like the reference's mid/large SuiteSparse set
         # (thermal2 ~1.2M rows/8.5M nnz, ecology1 1M/5M, G3_circuit 1.5M/7.6M).
         return {
-            "lap2d_1024": laplacian_2d(1024),            # 1.05M rows, 5.2M nnz
-            "lap3d_101": laplacian_3d(101),              # 1.03M rows, 7.2M nnz
-            "banded_1m": random_banded(1_000_000, 1000, 16, seed=1),
-            "general_500k": random_general(500_000, 10, seed=2),
-            "powerlaw_1m": power_law(1_000_000, 8, seed=3),
+            "lap2d_1024": lambda: laplacian_2d(1024),    # 1.05M rows, 5.2M nnz
+            "lap3d_101": lambda: laplacian_3d(101),      # 1.03M rows, 7.2M nnz
+            "banded_1m": lambda: random_banded(1_000_000, 1000, 16, seed=1),
+            "general_500k": lambda: random_general(500_000, 10, seed=2),
+            "powerlaw_1m": lambda: power_law(1_000_000, 8, seed=3),
         }
     raise ValueError(f"unknown scale {scale!r}")
+
+
+def suite(scale: str = "small") -> dict:
+    """Named matrix families mirroring the reference's benchmark set
+    roles (eagerly built; prefer suite_factories for lookups)."""
+    return {k: f() for k, f in suite_factories(scale).items()}
+
+
+def make(name: str):
+    """Build one named suite matrix without constructing the others."""
+    for scale in ("tiny", "small", "bench"):
+        f = suite_factories(scale).get(name)
+        if f is not None:
+            return f()
+    raise KeyError(
+        f"unknown synthetic matrix {name!r}; known: "
+        + ", ".join(
+            n for s in ("tiny", "small", "bench")
+            for n in suite_factories(s)
+        )
+    )

@@ -74,7 +74,7 @@ def _pad_meta(arr, num_tiles: int, per_tile: int, tiles_per_block: int):
     return jnp.pad(arr, (0, pad)) if pad else arr
 
 
-def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
+def resident_x_fits(layout, budget_frac: float = 0.5, batch: int = 1) -> bool:
     """True when the resident kernels' VMEM working set (padded x + the
     double-buffered slab/partial tiles) fits `budget_frac` of VMEM.
 
@@ -82,6 +82,9 @@ def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
     rows (x = 16.8 MB) the resident kernel runs fine and 1.5x faster
     than the HBM-windowed variant, so the real bound is the VMEM budget.
     The half-budget default leaves room for Mosaic scratch and fusion.
+
+    batch: right-hand-side columns — SpMM (kernels/spmm.py) stages X as
+    (n_pad, B) and accumulates B-wide partials, scaling both terms.
     """
     reads_nb = 2 * max((getattr(layout, "rank_nb", 1) + 1) // 2, 1)
     n_pad = _round_up(max(layout.n, LANES), LANES) + max(
@@ -90,8 +93,8 @@ def resident_x_fits(layout, budget_frac: float = 0.5) -> bool:
     lcol_bytes = getattr(layout, "lcols", layout.vals).dtype.itemsize
     tile_k = getattr(layout, "tile_k", 512) or 512
     tiles = 2 * tile_k * LANES * (4 + lcol_bytes)
-    partials = 2 * (tile_k // SUBLANES) * LANES * 4
-    return 4 * n_pad + tiles + partials <= budget_frac * VMEM_BYTES()
+    partials = 2 * (tile_k // SUBLANES) * LANES * 4 * batch
+    return 4 * n_pad * batch + tiles + partials <= budget_frac * VMEM_BYTES()
 
 
 def _reduce_partials(partials, layout):

@@ -57,7 +57,10 @@ def main(argv=None):
             mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
             print("RCM applied")
 
-    D = args.devices or len(jax.devices())
+    avail = len(jax.devices())
+    D = args.devices or avail
+    if D > avail:
+        raise SystemExit(f"requested {D} devices, only {avail} available")
     mesh = make_row_mesh(jax.devices()[:D])
     lay = ShardedRanked.build(mat, D).device_put(mesh)
     print(f"devices={D} halo={lay.halo} rows/shard={lay.padded_m // D}")
@@ -71,7 +74,11 @@ def main(argv=None):
     if args.pcg:
         diag = mat.diagonal()
         inv = np.zeros(lay.padded_m, np.float32)
-        inv[: mat.m] = np.where(diag != 0, 1.0 / np.maximum(diag, 1e-30), 0.0)
+        # Signed reciprocal (negative diagonals must invert, not clamp);
+        # rows with no diagonal entry get identity preconditioning.
+        inv[: mat.m] = np.where(
+            diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0
+        )
         inv = jax.device_put(
             jnp.asarray(inv), NamedSharding(mesh, P("rows"))
         )

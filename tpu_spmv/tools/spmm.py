@@ -62,26 +62,32 @@ def main(argv=None):
             print("RCM applied")
 
     B = args.batch
-    layout = RankedSlabs.from_csr(mat)
+    # Plan-driven bin width: scattered structure exceeds the aligned
+    # windows' packed-delta range (same fallback story as tools/spmv.py).
+    plan = tpu_plan(mat, assume_rcm=perm is not None)
+    try:
+        layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
+    except ValueError as e:
+        raise SystemExit(
+            f"ranked layout unavailable for this matrix ({e}); "
+            "SpMM currently runs on the rank-windowed layout only"
+        )
     kernel = args.kernel
     if kernel == "auto":
-        from tpu_spmv.hw import device_spec
+        from tpu_spmv.kernels.pallas_sell import resident_x_fits
 
-        # The resident kernel stages X as (n_pad, B) f32 in VMEM next to
-        # the double-buffered slab tiles; same half-budget rule as
-        # resident_x_fits, scaled by B.
-        from tpu_spmv.formats.sell import LANES
-        from tpu_spmv.kernels.pallas_sell import _round_up
-
-        n_pad = _round_up(max(mat.n, LANES), LANES) + 2 * max(
-            (layout.rank_nb + 1) // 2, 1
-        ) * LANES
-        staged = 4 * n_pad * B + 2 * 4 * (layout.tile_k or 2048) * LANES
         kernel = (
-            "resident" if staged <= device_spec().vmem_bytes // 2
-            else "windowed"
+            "resident" if resident_x_fits(layout, batch=B) else "windowed"
         )
-        print(f"auto kernel: {kernel} (staged X {4 * n_pad * B / 2**20:.1f} MB)")
+        print(
+            f"auto kernel: {kernel} "
+            f"(staged X {4 * mat.n * B / 2**20:.1f} MB)"
+        )
+        if kernel == "windowed" and layout.win_w <= 0:
+            raise SystemExit(
+                "X exceeds the VMEM budget but the layout has no "
+                "per-tile windows (scattered structure); no SpMM path"
+            )
     fn = functools.partial(
         spmm_ranked if kernel == "resident" else spmm_ranked_windowed,
         interpret=interp,

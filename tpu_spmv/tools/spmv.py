@@ -27,10 +27,7 @@ def load_input(spec: str):
     if spec.startswith("synthetic:"):
         from tpu_spmv.bench import matrices
 
-        name = spec.split(":", 1)[1]
-        table = dict(matrices.suite("bench"), **matrices.suite("small"))
-        table.update(matrices.suite("tiny"))
-        return table[name]
+        return matrices.make(spec.split(":", 1)[1])
     from tpu_spmv.tools.stats import load
 
     return load(spec)
@@ -77,8 +74,9 @@ def main(argv=None):
 
     # Pin the platform before the first jnp op: a JAX_PLATFORMS=cpu
     # request must be applied via jax.config (hw.interpret_mode) or the
-    # process would try to build the TPU client.
-    interpret_mode()
+    # process would try to build the TPU client. Pallas kernels need
+    # interpreter mode on the CPU backend.
+    interp = interpret_mode()
 
     import jax.numpy as jnp
 
@@ -191,13 +189,6 @@ def main(argv=None):
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     xj = jnp.asarray(x[col_perm])
     import functools
-
-    from tpu_spmv.hw import interpret_mode
-
-    # Pallas kernels need interpreter mode on the CPU backend (also
-    # applies a JAX_PLATFORMS=cpu request via jax.config — the env var
-    # alone is overridden by this environment's TPU plugin).
-    interp = interpret_mode()
     if kernel == "sell":
         layout = build_or_load(SellSlabs)
         fn = functools.partial(spmv_sell, interpret=interp)

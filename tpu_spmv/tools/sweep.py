@@ -42,7 +42,7 @@ def _resolve_matrices(entries, suite: dict):
 
     for entry in entries:
         if entry in suite:
-            yield entry, (lambda e=entry: suite[e])
+            yield entry, suite[entry]  # zero-arg factory, built lazily
             continue
         paths = sorted(globmod.glob(entry)) or [entry]
         for p in paths:
@@ -111,7 +111,7 @@ def main(argv=None):
     from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
 
-    suite = M.suite(args.scale)
+    suite = M.suite_factories(args.scale)
     entries = args.matrices or list(suite)
     out = pathlib.Path(args.out)
     done = _done_keys(out)
