@@ -277,3 +277,13 @@ def test_solve_cli_cg_and_pcg(capsys):
     assert solve.main(
         ["synthetic:banded_1k", "--iters", "80", "--pcg"]
     ) == 0
+
+
+def test_sts_cli_distributed(capsys):
+    """STS CLI --devices routes to the sharded block back-substitution."""
+    from tpu_spmv.tools import sts
+
+    rc = sts.main(["synthetic:banded_1k", "--devices", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "devices=4" in out and "Number Wrong: 0" in out

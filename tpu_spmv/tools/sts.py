@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--sizes", type=int, nargs="*", default=None)
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--devices", type=int, default=1,
+                    help=">1: distributed block back-substitution over a "
+                    "row mesh (dist/sts.py) instead of the single-chip "
+                    "solve")
     ap.add_argument("--validate-only", action="store_true",
                     help="skip the timed benchmark (CI / CPU runs)")
     args = ap.parse_args(argv)
@@ -49,6 +53,31 @@ def main(argv=None):
     )
 
     b = compute_b(sys_.lower)  # x_exact = ones
+
+    if args.devices > 1:
+        import jax
+
+        from tpu_spmv.dist.sharding import make_row_mesh
+        from tpu_spmv.dist.sts import ShardedLowerSolve, sts_solve_sharded
+
+        avail = len(jax.devices())
+        if args.devices > avail:
+            raise SystemExit(
+                f"requested {args.devices} devices, only {avail} available"
+            )
+        mesh = make_row_mesh(jax.devices()[: args.devices])
+        lay, pad_index = ShardedLowerSolve.build(sys_, b, args.devices)
+        lp = lay.device_put(mesh)
+        x_pad = np.asarray(sts_solve_sharded(lp, mesh))
+        x = x_pad[pad_index]
+        num_wrong = int(np.sum(np.abs(x - 1.0) > args.tol))
+        print(f"devices={args.devices} rows/shard={lay.rows_per_shard}")
+        print(f"Total Error: {check_error(x):g}")
+        print(f"Number Wrong: {num_wrong}")
+        # Distributed timing is meaningful on real chips only; the CLI
+        # reports validation (the simulated mesh serializes devices).
+        return 0 if num_wrong == 0 else 1
+
     layout = LowerSolveLayout.build(sys_, b)
 
     x = np.asarray(lower_solve(layout, interpret=interpret))
