@@ -38,6 +38,11 @@ timeout 1800 python -m tpu_spmv.tools.spmm synthetic:lap2d_1024 20 \
 timeout 3600 python results/scattered_16m_r3.py \
   | tee results/scattered_16m_r3.txt
 
+# 5b. Cost-model calibration datum (dry-run: record the on-chip fit
+#     without overlaying mid-batch; v5e should reproduce the defaults).
+timeout 1800 python -m tpu_spmv.tools.tune --calibrate --dry-run \
+  2>results/tune_calib_r3_stderr.txt | tee results/tune_calib_r3.json
+
 # 6. Weak scaling D=1..8 (simulated mesh; ICI model from hw constants).
 timeout 1800 python -m tpu_spmv.tools.scaling --weak \
   --out results/weak_scaling_r3.csv

@@ -147,3 +147,29 @@ def test_tpu_plan_sigma_recommendation():
     skewed = CSRMatrix.from_coo(rows, cols, vals, (m, m))
     plan = tpu_plan(skewed, assume_rcm=True)
     assert plan.sigma > 0, (plan.sigma, plan.reason)
+
+
+def test_calibration_overlay(tmp_path, monkeypatch):
+    """tools/tune.py --calibrate writes per-device-kind constants that
+    hw.kernel_calibration overlays onto the tune cost model."""
+    import json
+
+    from tpu_spmv.hw import device_spec, kernel_calibration
+    from tpu_spmv.tools.tune import fit_affine
+    from tpu_spmv.tune.model import _ranked_subtile_cost
+
+    # Affine fit recovers known constants from exact points.
+    a, b = fit_affine([(1, 4.25), (2, 5.2), (4, 7.1)])
+    assert abs(a - 3.3) < 1e-6 and abs(b - 0.95) < 1e-6
+
+    base = _ranked_subtile_cost(4)  # pairs=2, defaults
+    p = tmp_path / "calib.json"
+    p.write_text(json.dumps(
+        {device_spec().kind: {"ranked_fixed": 10.0, "pair_cost": 2.0}}
+    ))
+    monkeypatch.setenv("TPU_SPMV_CALIB", str(p))
+    assert kernel_calibration() == {"ranked_fixed": 10.0, "pair_cost": 2.0}
+    assert _ranked_subtile_cost(4) == 14.0
+    monkeypatch.setenv("TPU_SPMV_CALIB", str(tmp_path / "missing.json"))
+    assert kernel_calibration() == {}
+    assert _ranked_subtile_cost(4) == base

@@ -57,6 +57,32 @@ def spec_for_kind(kind: str | None) -> DeviceSpec:
     return _DEFAULT
 
 
+def kernel_calibration() -> dict:
+    """Measured kernel cost-model constants for the current device kind.
+
+    Read from the JSON file written by `tools/tune.py --calibrate`
+    (path: $TPU_SPMV_CALIB or ~/.cache/tpu_spmv/calib.json), keyed by
+    DeviceSpec.kind. An empty dict means tune/model.py's v5e-measured
+    defaults apply — the reference ships per-arch constants the same
+    way (spmv-auto-{volta,ampere}.cu:130-158); here any TPU generation
+    can re-measure its own.
+    """
+    import json
+    import os
+
+    path = os.environ.get(
+        "TPU_SPMV_CALIB",
+        os.path.expanduser("~/.cache/tpu_spmv/calib.json"),
+    )
+    try:
+        with open(path) as f:
+            table = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    entry = table.get(device_spec().kind, {})
+    return entry if isinstance(entry, dict) else {}
+
+
 def interpret_mode() -> bool:
     """True when kernels must run in Pallas interpret mode (CPU backend).
 

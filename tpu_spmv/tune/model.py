@@ -263,9 +263,24 @@ def _subtiles_from_kc(kc) -> int:
     return int(kcq.sum())
 
 
+def _cal(name: str, default: float) -> float:
+    """Cost-model constant with a per-device measured override
+    (hw.kernel_calibration, written by tools/tune.py --calibrate)."""
+    from tpu_spmv.hw import kernel_calibration
+
+    try:
+        return float(kernel_calibration().get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
 def _ranked_subtile_cost(rank_nb: int) -> float:
     pairs = max((rank_nb + 1) // 2, 1)
-    return max(_RANKED_FIXED + _PAIR_COST * pairs, _TRAFFIC_FLOOR)
+    return max(
+        _cal("ranked_fixed", _RANKED_FIXED)
+        + _cal("pair_cost", _PAIR_COST) * pairs,
+        _TRAFFIC_FLOOR,
+    )
 
 
 def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
@@ -410,12 +425,13 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
     if not candidates:
         # Estimation-only path (exact=False or degenerate matrix): keep
         # the round-1 span-threshold heuristics.
-        if est_nb > _SPAN_LIMIT and est_rank * _RANKED_ITER_COST > _SPAN_LIMIT:
+        ric = _cal("ranked_iter_cost", _RANKED_ITER_COST)
+        if est_nb > _SPAN_LIMIT and est_rank * ric > _SPAN_LIMIT:
             kernel, bin_blocks, reason = "segsum", 0, (
                 f"chunk span ~{est_nb:.0f} blocks exceeds {_SPAN_LIMIT}; "
                 "XLA segment-sum"
             )
-        elif est_nb > _RANKED_ITER_COST * est_rank and est_rank <= 250:
+        elif est_nb > ric * est_rank and est_rank <= 250:
             kernel, bin_blocks, reason = "ranked", 0, (
                 f"rank span {est_rank:.0f} vs chunk span {est_nb:.0f}"
             )
