@@ -55,6 +55,23 @@ def format_overheads(mat, k: int = 3, sup_row_sizes=(8, 8)) -> dict:
         out["sell_max_nb"] = sell.max_nb
     except ValueError as e:
         out["ranked_error"] = str(e)
+    # Round-3 formats: report when the structure admits them.
+    try:
+        from tpu_spmv.formats.packed import PackedRanked
+
+        pk = PackedRanked.from_csr(mat)
+        out["packed"] = pk.hbm_bytes
+        out["packed_padding_ratio"] = pk.padding_ratio
+    except Exception as e:
+        out["packed_error"] = str(e)
+    try:
+        from tpu_spmv.formats.dia import DiaSlabs
+
+        dl = DiaSlabs.from_csr(mat)
+        out["dia"] = dl.hbm_bytes
+        out["dia_num_diagonals"] = dl.num_diagonals
+    except Exception as e:
+        out["dia_error"] = str(e)
     return out
 
 
