@@ -3,46 +3,60 @@
 #   bash results/run_r3_tpu.sh
 # Each stage is independent and appends/overwrites its own artifact, so
 # a tunnel drop mid-run loses only the current stage (the sweep CSV is
-# resumable by design).
+# resumable by design). Before each stage a quick device probe aborts
+# the batch (exit 1) if the tunnel has dropped — the caller can retry
+# later and finished stages re-run cheaply or resume.
 set -x
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 
+probe() {
+  timeout 180 python -c "import jax; jax.devices()" 2>/dev/null \
+    || { echo "TUNNEL DOWN - aborting batch"; exit 1; }
+}
+
+probe
 # 1. Flagship bench (ranked vs packed head-to-head; prints one JSON line).
 timeout 1800 python bench.py 2>results/bench_r3_stderr.txt \
   | tee results/bench_r3.json
 
+probe
 # 2. Bench-scale sweep, auto-planned kernels (sigma + striped/dia/binned
 #    routing all engaged) + the segsum baseline.
 timeout 5400 python -m tpu_spmv.tools.sweep \
   --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels auto segsum
 
+probe
 # 3. BCOO vendor datum (VERDICT r2 #8): jax.experimental.sparse rows for
 #    the same suite — slow is fine, that IS the datum.
 timeout 5400 python -m tpu_spmv.tools.sweep \
   --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels bcoo
 
+probe
 # 4. Packed mixed-height rows for the regular suite (roofline lever).
 timeout 3600 python -m tpu_spmv.tools.sweep \
   --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
   --kernels packed
 
+probe
 # 4b. SpMM datum through the public CLI (was a scratch script in r2).
 timeout 1800 python -m tpu_spmv.tools.spmm synthetic:lap2d_1024 20 \
   --batch 8 --rcm always | tee results/spmm_r3.txt
 
+probe
 # 5. Scattered beyond the VMEM x-budget: >=16M-col matrix through the
 #    column-striped kernel (VERDICT r2 #4), one on-chip datapoint.
 timeout 3600 python results/scattered_16m_r3.py \
   | tee results/scattered_16m_r3.txt
 
+probe
 # 5b. Cost-model calibration datum (dry-run: record the on-chip fit
 #     without overlaying mid-batch; v5e should reproduce the defaults).
 timeout 1800 python -m tpu_spmv.tools.tune --calibrate --dry-run \
   2>results/tune_calib_r3_stderr.txt | tee results/tune_calib_r3.json
 
-# 6. Weak scaling D=1..8 (simulated mesh; ICI model from hw constants).
+# 6. Weak scaling D=1..8 (simulated mesh; forces CPU itself, no probe).
 timeout 1800 python -m tpu_spmv.tools.scaling --weak \
   --out results/weak_scaling_r3.csv
