@@ -620,7 +620,10 @@ class SellSlabs:
         total_k = _round_up(int(koff[-1]), min(tile_k, 512))
 
         vals = np.zeros((total_k, LANES), dtype=np.float32)
-        cols = np.full((total_k, LANES), -1, dtype=np.int64)
+        # int32: column ids fit (n < 2^31) and the padded array is the
+        # build's dominant memory traffic (pad x nnz x 128 lanes) — at
+        # an 80x power-law fill int64 temporaries alone cost minutes.
+        cols = np.full((total_k, LANES), -1, dtype=np.int32)
 
         # Scatter nonzeros: the j-th nonzero of row r lands at
         # (koff[chunk(r)] + slot(j), lane(r)); slot = ordinal rank, or the
@@ -635,16 +638,19 @@ class SellSlabs:
         vals[dest_k, dest_l] = mat.data
         cols[dest_k, dest_l] = mat.indices
 
-        # Per-sub-tile x block range [b0, b0+nb), padding (-1) excluded.
-        # (Plain np.where, not np.ma: masked arrays cost ~3s of copies at
-        # 4M rows.)
+        # Per-sub-tile x block range [b0, b0+nb), padding excluded.
+        # Reduced over the nnz ENTRIES (ufunc.at), not the padded array:
+        # at a power-law 80x fill the padded scans cost minutes while the
+        # entry reductions are O(nnz).
         num_subtiles = total_k // SUBLANES
-        ucols = cols.reshape(num_subtiles, SUBLANES * LANES)
-        valid = ucols >= 0
-        sub_min = np.where(valid, ucols, np.iinfo(np.int64).max).min(axis=1)
-        sub_min[~valid.any(axis=1)] = 0
+        sub_of = dest_k // SUBLANES
+        sub_min = np.full(num_subtiles, np.iinfo(np.int32).max, np.int64)
+        np.minimum.at(sub_min, sub_of, mat.indices)
+        sub_min[sub_min == np.iinfo(np.int32).max] = 0  # all-pad sub-tiles
         sub_b0 = sub_min // LANES
-        sub_bmax = np.maximum(ucols.max(axis=1), 0) // LANES
+        sub_bmax = np.zeros(num_subtiles, np.int64)
+        np.maximum.at(sub_bmax, sub_of, mat.indices)
+        sub_bmax //= LANES
         sub_nb = np.maximum(sub_bmax - sub_b0 + 1, 1)
 
         # Padding slots reuse the sub-tile's first block so the gather loop
@@ -666,6 +672,10 @@ class SellSlabs:
             vals=vals, cols=cols, sub_b0=sub_b0, sub_nb=sub_nb,
             sub_chunk=sub_chunk, m=m, n=n, num_chunks=num_chunks,
             chunk_q=_uniform_subtiles_per_chunk(sub_chunk, num_chunks),
+            # Host-only extras (not part of the device layout): entry
+            # destinations, for consumers that derive per-sublane stats
+            # in O(nnz) instead of scanning the padded arrays.
+            dest_k=dest_k,
         )
 
 
@@ -805,29 +815,31 @@ class RankedSlabs:
         exceed this shard's own (the stacked kernel runs at the global
         rank_nb, so a tail shard with a locally narrower rank must not
         reject the shared plan)."""
-        base = SellSlabs.from_csr(
-            mat, tile_k=tile_k, align=align, bin_blocks=bin_blocks
-        )
-        cols = np.asarray(base.cols)  # absolute, padding pre-filled in-window
-        vals = np.asarray(base.vals)
+        host = SellSlabs._host_build(mat, tile_k, align, bin_blocks)
+        cols = host["cols"]  # absolute, padding pre-filled in-window
+        vals = host["vals"]
+        dest_k = host.pop("dest_k")
         total_k = cols.shape[0]
         S = total_k // SUBLANES
 
-        # Per-(sub-tile, sublane) window base (x blocks) over REAL slots
-        # only: padding slots were filled with the sub-tile's min block
-        # which may be far from this sublane's cluster, so recompute from
-        # vals != 0.
-        units = cols >> 7
-        real = vals != 0.0
-        big = np.where(real, units, np.iinfo(np.int32).max).reshape(
-            S, SUBLANES, LANES
-        )
-        sub_base = big.min(axis=2)
-        empty = sub_base == np.iinfo(np.int32).max
+        # Per-(sub-tile, sublane) window base (x blocks) over REAL
+        # entries only (padding slots were filled with the sub-tile's
+        # min block, which may be far from this sublane's cluster).
+        # Reduced over the nnz ENTRIES — dest_k IS the flat (sub-tile,
+        # sublane) id — because padded-array scans cost minutes at a
+        # power-law 80x fill.
+        SENT = np.iinfo(np.int32).max
+        units_e = mat.indices.astype(np.int64) >> 7
+        flat_lo = np.full(total_k, SENT, np.int64)
+        np.minimum.at(flat_lo, dest_k, units_e)
+        flat_hi = np.full(total_k, -1, np.int64)
+        np.maximum.at(flat_hi, dest_k, units_e)
+        sub_base = flat_lo.reshape(S, SUBLANES)
+        empty = sub_base == SENT
         # Empty sublanes inherit the sub-tile's minimum real base (keeps
         # packed deltas small); all-empty sub-tiles fall back to unit 0.
         tile_min = sub_base.min(axis=1)
-        tile_min[tile_min == np.iinfo(np.int32).max] = 0
+        tile_min[tile_min == SENT] = 0
         sub_base = np.where(empty, tile_min[:, None], sub_base)
 
         # Grouped windows: greedily merge sublanes whose windows always
@@ -842,9 +854,7 @@ class RankedSlabs:
         grp_b0 = np.zeros(0, np.int32)
         want_groups = (allow_groups or group_plan is not None) and S
         if want_groups:
-            hi_units = np.where(real, units, -1).reshape(
-                S, SUBLANES, LANES
-            ).max(axis=2)
+            hi_units = flat_hi.reshape(S, SUBLANES)
             hi_units = np.where(hi_units < 0, sub_base, hi_units)
             rank_nb0 = int((hi_units - sub_base).max()) + 1
             # (A rank>2 gate lived here briefly: multi-pair grouped
@@ -858,10 +868,15 @@ class RankedSlabs:
                 group_plan=group_plan, group_plan_budget=group_plan_budget,
             )
 
-        # Local columns; padding slots point at the sublane window's first
-        # entry (val=0 keeps them inert).
-        base_cols = np.repeat(sub_base.reshape(-1), LANES).reshape(total_k, LANES)
-        lcols = np.where(real, cols - (base_cols << 7), 0)
+        # Local columns; padding slots point at the sublane window's
+        # first entry (val=0 keeps them inert). In-place on the cols
+        # buffer (no longer needed in absolute form): the padded array
+        # is the dominant allocation, so avoid broadcast temporaries.
+        real3 = (vals != 0.0).reshape(S, SUBLANES, LANES)
+        c3 = cols.reshape(S, SUBLANES, LANES)
+        c3 -= (sub_base[:, :, None] << 7).astype(cols.dtype)
+        np.copyto(c3, 0, where=~real3)
+        lcols = cols
         rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
         assert lcols.min() >= 0
         # Local columns are window-relative and small: int16 halves the
@@ -907,14 +922,14 @@ class RankedSlabs:
             sub_b0=as32(sub_b0.astype(np.int32)),
             sub_dlo=as32(sub_dlo),
             sub_dhi=as32(sub_dhi),
-            sub_chunk=base.sub_chunk,
+            sub_chunk=jnp.asarray(host["sub_chunk"], dtype=jnp.int32),
             tile_b0=as32(tile_b0.astype(np.int32)),
-            m=base.m,
-            n=base.n,
-            nnz=base.nnz,
-            num_chunks=base.num_chunks,
+            m=host["m"],
+            n=host["n"],
+            nnz=mat.nnz,
+            num_chunks=host["num_chunks"],
             rank_nb=rank_nb,
-            chunk_q=base.chunk_q,
+            chunk_q=host["chunk_q"],
             win_w=win_w,
             tile_k=tile_eff,
             grp_b0=jnp.asarray(grp_b0),
