@@ -88,6 +88,33 @@ _WORKER = textwrap.dedent(
     sol, res = cg_solve(lp, bj, mesh, iters=3, axis=axis)
     res = float(res)
     assert np.isfinite(res) and res < float(np.vdot(b, b)), res
+
+    # Distributed SpMM (the serving workload) over the same halo pairs.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_spmv.dist.sharding import spmm_sharded
+
+    B = 3
+    X = np.random.default_rng(2).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Xp = np.zeros((lp.padded_m, B), np.float32)
+    Xp[: mat.n] = X
+    Xj = jax.device_put(jnp.asarray(Xp), NamedSharding(mesh, P(axis)))
+    Y = spmm_sharded(lp, Xj, mesh, axis)
+    Y_ref = np.stack([mat.matvec(X[:, c]) for c in range(B)], axis=1)
+    for sh in Y.addressable_shards:
+        sl = sh.index[0]
+        r0 = sl.start or 0
+        ref = np.zeros((sh.data.shape[0], B), np.float32)
+        take = max(min(mat.m - r0, ref.shape[0]), 0)
+        ref[:take] = Y_ref[r0 : r0 + take]
+        rel = np.linalg.norm(np.asarray(sh.data) - ref) / max(
+            np.linalg.norm(ref), 1e-30
+        )
+        assert rel < 1e-6, (sh.index, rel)
+
     print(f"OK process {jax.process_index()} rel-checked rows={checked}")
     """
 )
