@@ -164,3 +164,32 @@ def test_csr_diagonal():
         np.array([5.0, 7.0, 9.0], dtype=np.float32), (3, 3),
     )
     assert np.array_equal(m.diagonal(), [5.0, 9.0, 0.0])
+
+
+def test_ranked_explicit_zero_entries():
+    """Stored zeros are structural: the r3 O(nnz) window derivation
+    includes them in gather windows (conservative — the old padded-array
+    scan treated val==0.0 slots as padding), and their lcol is forced
+    inert. Either way y must match the oracle exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked
+
+    rng = np.random.default_rng(0)
+    m = 300
+    indptr = np.arange(0, 4 * m + 1, 4, dtype=np.int64)
+    indices = np.sort(
+        rng.integers(0, m, size=(m, 4)), axis=1
+    ).astype(np.int32).reshape(-1)
+    data = rng.standard_normal(4 * m).astype(np.float32)
+    data[::7] = 0.0  # explicit stored zeros
+    mat = CSRMatrix(indptr, indices, data, (m, m))
+    lay = RankedSlabs.from_csr(mat, bin_blocks=2)
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
+    ref = mat.matvec(x)
+    rel = np.linalg.norm(y - ref) / max(np.linalg.norm(ref), 1e-30)
+    assert rel < 1e-6, rel
