@@ -51,6 +51,12 @@ def collect() -> dict:
 
 def main(argv=None):
     del argv
+    # Honor a JAX_PLATFORMS=cpu request before any backend init (the
+    # TPU plugin otherwise overrides it and blocks when its device
+    # tunnel is unreachable — same pin as every other CLI).
+    from tpu_spmv.hw import interpret_mode
+
+    interpret_mode()
     info = collect()
     for k, v in info.items():
         if k == "devices":
