@@ -104,6 +104,40 @@ def main():
     except Exception as e:  # pragma: no cover - chip-dependent
         print(f"# packed candidate unavailable: {e!r}", file=sys.stderr)
 
+    # bf16 value-storage candidate (r3): halves the dominant slab-value
+    # traffic of a kernel measured memory-bound at >90% of its layout
+    # roofline. Promoted to flagship ONLY when bit-exact headroom exists
+    # (rel < 1e-6 vs the f32 oracle — true for the Laplacian's +-1/4
+    # values, which bf16 represents exactly); otherwise it is reported
+    # as a separate datum so the flagship metric keeps f32 numerics.
+    try:
+        if kernel_name in ("ranked", "packed"):
+            if kernel_name == "packed":
+                from tpu_spmv.formats.packed import PackedRanked
+                from tpu_spmv.kernels.packed import spmv_packed as _pf
+
+                bf_lay = PackedRanked.from_csr(mat, val_dtype=jnp.bfloat16)
+                bf_fn = functools.partial(_pf, interpret=interp)
+            else:
+                bf_lay = RankedSlabs.from_csr(
+                    mat, bin_blocks=plan.bin_blocks, val_dtype=jnp.bfloat16
+                )
+                bf_fn = functools.partial(spmv_ranked, interpret=interp)
+            y_b = np.asarray(bf_fn(bf_lay, xj))
+            w_b, r_b = validate(y_b, y_oracle)
+            b_res = bench_spmv(bf_fn, bf_lay, xj, **reps)
+            print(
+                f"# bf16-vals candidate [{kernel_name}]: "
+                f"{b_res.gflops:.1f} GFLOP/s wrong={w_b} relL2={r_b:.1e} "
+                f"(vs {flag.gflops:.1f} f32)",
+                file=sys.stderr,
+            )
+            if w_b == 0 and r_b < 1e-6 and b_res.time_min < flag.time_min:
+                flag, layout, wrong, rel = b_res, bf_lay, w_b, r_b
+                kernel_name = f"{kernel_name}+bf16"
+    except Exception as e:  # pragma: no cover - chip-dependent
+        print(f"# bf16 candidate unavailable: {e!r}", file=sys.stderr)
+
     # DIA candidate on the NATURAL ordering (structure detection, r3):
     # a 5-point grid has constant diagonals before RCM — fill 1.00x,
     # zero index traffic, no gather. The reference pipeline always RCMs

@@ -41,6 +41,16 @@ timeout 3600 python -m tpu_spmv.tools.sweep \
   --kernels packed
 
 probe
+# 4c. bf16 value-storage datum (net-new opt-in; validated against the
+#     bf16-rounded operator, drift vs f32 printed). The bench.py
+#     candidate covers the head-to-head; this records the CLI artifact.
+{ timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
+    --kernel packed --val-dtype bf16 --rcm always ; \
+  timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
+    --kernel ranked --val-dtype bf16 --rcm always ; } \
+  | tee results/bf16_r3.txt
+
+probe
 # 4b. SpMM datum through the public CLI (was a scratch script in r2).
 timeout 1800 python -m tpu_spmv.tools.spmm synthetic:lap2d_1024 20 \
   --batch 8 --rcm always | tee results/spmm_r3.txt

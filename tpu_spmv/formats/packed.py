@@ -127,7 +127,7 @@ class PackedRanked:
     @property
     def hbm_bytes(self) -> int:
         return (
-            self.vals.size * 4
+            self.vals.size * self.vals.dtype.itemsize
             + self.lcols.size * self.lcols.dtype.itemsize
             + 4 * (self.n + self.m)
             + 2 * self.num_subtiles * LANES * 4  # two partial rows/sub-tile
@@ -136,7 +136,11 @@ class PackedRanked:
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 2048, allow_groups: bool = True,
+        val_dtype=None,
     ) -> "PackedRanked":
+        """val_dtype: slab value storage dtype (default float32);
+        jnp.bfloat16 halves the value traffic — see
+        RankedSlabs.from_csr for the accuracy contract."""
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
@@ -243,7 +247,7 @@ class PackedRanked:
             dtype=jnp.int32,
         )
         return cls(
-            vals=jnp.asarray(vals),
+            vals=jnp.asarray(vals, dtype=val_dtype or jnp.float32),
             lcols=jnp.asarray(lcols),
             sub_b0=as32(sub_b0.astype(np.int32)),
             sub_dlo=as32(sub_dlo),

@@ -364,6 +364,15 @@ def _save_layout(layout, path, matrix: CSRMatrix | None = None,
     """
     children, aux = layout.tree_flatten()
     arrays = {f"c{i}": np.asarray(a) for i, a in enumerate(children)}
+    # npz cannot serialize bfloat16 (ml_dtypes): store as a uint16 view
+    # and record which children to view back on load.
+    bf16 = [i for i, a in arrays.items() if a.dtype == jnp.bfloat16]
+    for i in bf16:
+        arrays[i] = arrays[i].view(np.uint16)
+    if bf16:
+        arrays["__bf16__"] = np.asarray(
+            [int(k[1:]) for k in bf16], dtype=np.int64
+        )
     if matrix is not None:
         arrays["__mkey__"] = matrix_key(matrix, config)
     np.savez_compressed(
@@ -478,10 +487,16 @@ def load_layout(path, matrix: CSRMatrix | None = None, config: tuple = ()):
                     "or layout configuration (rcm/sigma/k/bin_blocks); "
                     "rebuild it"
                 )
+        bf16 = set(
+            int(v) for v in z["__bf16__"]
+        ) if "__bf16__" in z else set()
         children = []
         i = 0
         while f"c{i}" in z:
-            children.append(jnp.asarray(z[f"c{i}"]))
+            a = z[f"c{i}"]
+            if i in bf16:
+                a = a.view(np.dtype(jnp.bfloat16))
+            children.append(jnp.asarray(a))
             i += 1
     cls = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}[clsname]
     if clsname == "RankedSlabs" and len(children) < 8:
@@ -781,7 +796,7 @@ class RankedSlabs:
     @property
     def hbm_bytes(self) -> int:
         return (
-            self.vals.size * 4
+            self.vals.size * self.vals.dtype.itemsize
             + self.lcols.size * self.lcols.dtype.itemsize
             + 4 * (self.n + self.m)
             + self.num_subtiles * LANES * 4
@@ -804,8 +819,18 @@ class RankedSlabs:
         bin_blocks: int = 0, allow_groups: bool = True,
         group_plan: tuple | None = None,
         group_plan_budget: int | None = None,
+        val_dtype=None,
     ) -> "RankedSlabs":
-        """group_plan: an externally fixed group partition (tuple of
+        """val_dtype: slab value storage dtype (default float32).
+        jnp.bfloat16 halves the dominant value traffic on this
+        memory-bound kernel (the kernel widens to f32 on load, so only
+        STORAGE is rounded). The kernel stays bit-faithful to the
+        bf16-ROUNDED operator; vs the f32 oracle y drifts by the value
+        rounding (~2e-3 relative L2 on random values — validate against
+        round(A) for exact checks). Matrices whose values are
+        bf16-representable, e.g. constant stencils, lose nothing.
+
+        group_plan: an externally fixed group partition (tuple of
         sublane-member tuples) applied instead of the greedy merge —
         used by dist.ShardedRanked so every shard runs the SAME static
         grouped kernel; raises ValueError when this matrix's windows
@@ -917,7 +942,7 @@ class RankedSlabs:
         as32 = lambda a: jnp.asarray(a.view(np.int32) if a.dtype == np.uint32 else a,
                                      dtype=jnp.int32)
         return cls(
-            vals=jnp.asarray(vals),
+            vals=jnp.asarray(vals, dtype=val_dtype or jnp.float32),
             lcols=jnp.asarray(lcols),
             sub_b0=as32(sub_b0.astype(np.int32)),
             sub_dlo=as32(sub_dlo),

@@ -58,7 +58,9 @@ def _make_packed_kernel(tile_k: int, rank_nb: int, loop: bool = False):
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[off + s]
             dlo = sub_dlo[off + s]
@@ -168,7 +170,9 @@ def _make_packed_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             bases = [grp_b0[goff + s * G + gi] for gi in range(G)]
             if rank_nb == 1:

@@ -178,7 +178,9 @@ def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int,
 
         def body(s):
             cols = cols_ref[pl.ds(s * SUBLANES, SUBLANES), :]
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             # Lane-local index is block-independent: hoist out of the loop.
             idx = jax.lax.bitwise_and(cols, LANES - 1)
             blk = jax.lax.shift_right_logical(cols, 7)
@@ -291,7 +293,9 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int, loop: bool = False):
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[off + s]
             dlo = sub_dlo[off + s]
@@ -370,7 +374,9 @@ def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             bases = [grp_b0[off + s * G + gi] for gi in range(G)]
             if rank_nb == 1:
@@ -538,7 +544,9 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int,
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             b0 = sub_b0[moff + s] - w0
             dlo = sub_dlo[moff + s]

@@ -45,7 +45,9 @@ def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int, loop: bool = False):
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             sel = jax.lax.shift_right_logical(lcols, 7)
             b0 = sub_b0[off + s]
@@ -242,7 +244,9 @@ def _make_spmm_windowed_kernel(
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )
-            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :]
+            vals = vals_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
+                jnp.float32
+            )
             idx = jax.lax.bitwise_and(lcols, LANES - 1)
             sel = jax.lax.shift_right_logical(lcols, 7)
             b0 = sub_b0[moff + s] - w0

@@ -61,6 +61,14 @@ def main(argv=None):
                     "length within windows of this many rows before the "
                     "layout build (cuts padding on skewed-degree matrices); "
                     "-1 = follow the planner, 0 = off")
+    ap.add_argument("--val-dtype", default="f32", choices=("f32", "bf16"),
+                    help="slab value storage dtype (ranked/packed kernels). "
+                    "bf16 halves the dominant value traffic of this "
+                    "memory-bound kernel; validation then runs against the "
+                    "bf16-rounded operator (exact), with drift vs the f32 "
+                    "oracle (~2e-3 rel on random values; zero for "
+                    "bf16-representable values, e.g. constant stencils) "
+                    "reported for information")
     ap.add_argument("--validate-only", action="store_true",
                     help="skip the timed benchmark (CI / CPU runs)")
     ap.add_argument("--layout-cache", default=None,
@@ -166,9 +174,18 @@ def main(argv=None):
 
     import pathlib
 
+    vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
+    if vdt is not None and kernel not in ("ranked", "packed"):
+        raise SystemExit(
+            f"--val-dtype bf16 supports the ranked/packed kernels, not "
+            f"{kernel!r}"
+        )
+
     def build_or_load(cls):
         cache = args.layout_cache
-        cfg = (bin_blocks, sigma, k)
+        # f32 keeps the historical 3-int config so existing caches stay
+        # valid; bf16 layouts get a distinct fingerprint.
+        cfg = (bin_blocks, sigma, k) + ((1,) if vdt is not None else ())
         if cache and pathlib.Path(cache).exists():
             from tpu_spmv.formats.sell import load_layout
 
@@ -180,7 +197,10 @@ def main(argv=None):
                 )
             print(f"loaded layout from {cache}")
             return lay
-        lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks)
+        kw = {}
+        if vdt is not None and cls is RankedSlabs:
+            kw["val_dtype"] = vdt
+        lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks, **kw)
         if cache:
             lay.save(cache, matrix=ck.matrix, config=cfg)
             print(f"saved layout to {cache}")
@@ -232,6 +252,8 @@ def main(argv=None):
                 raise SystemExit(str(e))
             # Packed-delta range exceeded: fall back to the plain kernel.
             print(f"ranked layout unavailable ({e}); falling back to sell")
+            if vdt is not None:
+                print("(sell fallback stores f32 values; bf16 not applied)")
             layout = build_or_load(SellSlabs)
             fn = functools.partial(spmv_sell, interpret=interp)
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
@@ -248,7 +270,9 @@ def main(argv=None):
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
-        layout = PackedRanked.from_csr(ck.matrix)
+        layout = PackedRanked.from_csr(
+            ck.matrix, **({"val_dtype": vdt} if vdt is not None else {})
+        )
         fn = functools.partial(spmv_packed, interpret=interp)
         print(f"packed mixed-height slabs: pad "
               f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}")
@@ -273,7 +297,23 @@ def main(argv=None):
         bytes_per_nnz = 12.0
 
     y = np.asarray(fn(layout, xj))
-    wrong, rel = validate(y, mat.matvec(x)[out_perm], tol=args.tol)
+    if vdt is not None:
+        # The user opted into bf16-rounded value STORAGE; correctness of
+        # the kernel is exactness against the rounded operator. Drift vs
+        # the full-precision oracle is reported for information.
+        import copy
+
+        mat_r = copy.copy(mat)
+        mat_r.data = np.asarray(
+            jnp.asarray(mat.data, jnp.bfloat16), dtype=np.float32
+        )
+        wrong, rel = validate(y, mat_r.matvec(x)[out_perm], tol=args.tol)
+        y_f32 = mat.matvec(x)[out_perm]
+        drift = np.linalg.norm(y - y_f32) / max(np.linalg.norm(y_f32), 1e-30)
+        print(f"(bf16 values: validated vs the bf16-rounded operator; "
+              f"RelL2 vs the f32 oracle = {drift:.2e})")
+    else:
+        wrong, rel = validate(y, mat.matvec(x)[out_perm], tol=args.tol)
     if args.validate_only:
         print(f"Number Wrong: {wrong} ")
         print(f"RelL2: {rel:.3g}")
