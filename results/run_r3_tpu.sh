@@ -47,7 +47,9 @@ probe
 { timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
     --kernel packed --val-dtype bf16 --rcm always ; \
   timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
-    --kernel ranked --val-dtype bf16 --rcm always ; } \
+    --kernel ranked --val-dtype bf16 --rcm always ; \
+  timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
+    --kernel dia --val-dtype bf16 --rcm never ; } \
   | tee results/bf16_r3.txt
 
 probe

@@ -87,6 +87,52 @@ def test_bf16_layout_cache_roundtrip(tmp_path):
     assert np.array_equal(ya, yb)
 
 
+def test_bf16_dia_exact_on_representable_stencil():
+    """DIA + bf16: the Laplacian's +-1/4 values are bf16-representable,
+    so the result matches the f32 oracle exactly; traffic accounting
+    reflects the halved value bytes."""
+    from tpu_spmv.formats.dia import DiaSlabs
+    from tpu_spmv.kernels.dia import spmv_dia
+
+    mat = laplacian_2d(40)  # natural order: 5 constant diagonals
+    f32 = DiaSlabs.from_csr(mat)
+    bf = DiaSlabs.from_csr(mat, val_dtype=jnp.bfloat16)
+    assert bf.vals.dtype == jnp.bfloat16
+    assert bf.hbm_bytes == f32.hbm_bytes - 2 * f32.vals.size
+    x = np.random.default_rng(4).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_dia(bf, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_bf16_sharded_ranked_matches_rounded_oracle():
+    """val_dtype flows through the distributed flagship: every shard
+    stores bf16 slabs; the stacked kernel widens on load."""
+    import jax
+    import pytest
+
+    from tpu_spmv.dist.sharding import ShardedRanked, spmv_sharded
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:4]), ("rows",))
+    mat = random_banded(2000, 50, 8, seed=9)
+    lay = ShardedRanked.build(mat, 4, val_dtype=jnp.bfloat16)
+    assert lay.vals.dtype == jnp.bfloat16
+    lay = lay.device_put(mesh)
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    xp = np.zeros(lay.padded_m, np.float32)
+    xp[: mat.n] = x
+    import jax.numpy as jnp_
+
+    xj = jax.device_put(
+        jnp_.asarray(xp),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")),
+    )
+    y = np.asarray(spmv_sharded(lay, xj, mesh))[: mat.m]
+    assert _rel(y, _rounded(mat).matvec(x)) < 1e-6
+
+
 def test_bf16_spmm_inherits_cast():
     """spmm over a bf16 RankedSlabs layout widens on load too."""
     from tpu_spmv.kernels.spmm import spmm_ranked

@@ -358,8 +358,11 @@ class ShardedRanked:
     @classmethod
     def build(
         cls, mat: CSRMatrix, n_devices: int, halo: str = "auto",
-        bin_blocks: int = 0,
+        bin_blocks: int = 0, val_dtype=None,
     ) -> "ShardedRanked":
+        """val_dtype: per-shard slab value storage (default float32);
+        jnp.bfloat16 halves the dominant value traffic on every shard —
+        see RankedSlabs.from_csr for the accuracy contract."""
         m, n = mat.shape
         blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
             mat, n_devices, halo
@@ -372,7 +375,10 @@ class ShardedRanked:
         # the packed-delta encoding (shard-uniform by construction).
         # This recovers the 15-28% grouped-kernel win the r2 flagship
         # gave up (docs/PERF_NOTES.md grouped-window section).
-        shards = [RankedSlabs.from_csr(blocks[0], bin_blocks=bin_blocks)]
+        vkw = {"val_dtype": val_dtype} if val_dtype is not None else {}
+        shards = [
+            RankedSlabs.from_csr(blocks[0], bin_blocks=bin_blocks, **vkw)
+        ]
         plan = shards[0].group_members if shards[0].group_code else None
         # Budget from the planning shard's paired-load extent: the
         # stacked kernel runs at the max rank over shards, so siblings
@@ -386,13 +392,13 @@ class ShardedRanked:
                     RankedSlabs.from_csr(
                         block, bin_blocks=bin_blocks,
                         allow_groups=False, group_plan=plan,
-                        group_plan_budget=budget,
+                        group_plan_budget=budget, **vkw,
                     )
                 )
         except ValueError:
             shards = [
                 RankedSlabs.from_csr(
-                    block, bin_blocks=bin_blocks, allow_groups=False
+                    block, bin_blocks=bin_blocks, allow_groups=False, **vkw
                 )
                 for block in blocks
             ]

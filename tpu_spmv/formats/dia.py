@@ -100,7 +100,10 @@ class DiaSlabs:
     @property
     def hbm_bytes(self) -> int:
         # Diagonal values + x read once + y written once.
-        return 4 * (self.vals.size + self.n + self.m)
+        return (
+            self.vals.size * self.vals.dtype.itemsize
+            + 4 * (self.n + self.m)
+        )
 
     @classmethod
     def from_csr(
@@ -109,10 +112,16 @@ class DiaSlabs:
         max_diags: int = DIA_MAX_DIAGS,
         max_fill: float = DIA_MAX_FILL,
         rows_per_tile: int = 8192,
+        val_dtype=None,
     ) -> "DiaSlabs":
         """Build the diagonal layout; raises ValueError when the matrix
         is not diagonal-structured enough (the planner's probe should
-        normally have filtered it first)."""
+        normally have filtered it first).
+
+        val_dtype: value storage dtype (default float32). DIA traffic is
+        almost entirely values (no indices), so jnp.bfloat16 nearly
+        halves the whole kernel's HBM bytes; same rounded-operator
+        accuracy contract as RankedSlabs.from_csr."""
         if mat.m != mat.n:
             raise ValueError("DIA layout requires a square matrix")
         m = mat.m
@@ -135,7 +144,10 @@ class DiaSlabs:
         vals = np.zeros((d, nb_pad * LANES), np.float32)
         vals[inverse, rows] = mat.data
         return cls(
-            vals=jnp.asarray(vals.reshape(d, nb_pad, LANES)),
+            vals=jnp.asarray(
+                vals.reshape(d, nb_pad, LANES),
+                dtype=val_dtype or jnp.float32,
+            ),
             offsets=tuple(int(o) for o in offsets),
             m=m,
             n=mat.n,

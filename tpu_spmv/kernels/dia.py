@@ -59,7 +59,7 @@ def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
                 shifted = jnp.where(
                     lane < LANES - s, roll_lanes(a, s), roll_lanes(b, s)
                 )
-            acc = acc + vals_ref[k] * shifted
+            acc = acc + vals_ref[k].astype(jnp.float32) * shifted
         y_ref[...] = acc
 
     return kernel
@@ -116,7 +116,9 @@ def spmv_dia_reference(layout: DiaSlabs, x) -> "np.ndarray":
     """NumPy oracle over the layout itself (tests)."""
     import numpy as np
 
-    vals = np.asarray(layout.vals).reshape(layout.num_diagonals, -1)
+    vals = np.asarray(layout.vals, dtype=np.float32).reshape(
+        layout.num_diagonals, -1
+    )
     n_rows = vals.shape[1]
     xp = np.zeros(n_rows + 2 * n_rows, np.float32)  # generous guard
     off0 = n_rows

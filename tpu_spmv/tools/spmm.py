@@ -35,6 +35,10 @@ def main(argv=None):
     )
     ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--val-dtype", default="f32", choices=("f32", "bf16"),
+                    help="slab value storage dtype; bf16 halves the "
+                    "per-column-amortized value traffic (validated against "
+                    "the bf16-rounded operator, f32 drift reported)")
     ap.add_argument("--validate-only", action="store_true")
     args = ap.parse_args(argv)
 
@@ -65,8 +69,12 @@ def main(argv=None):
     # Plan-driven bin width: scattered structure exceeds the aligned
     # windows' packed-delta range (same fallback story as tools/spmv.py).
     plan = tpu_plan(mat, assume_rcm=perm is not None)
+    vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
     try:
-        layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
+        layout = RankedSlabs.from_csr(
+            mat, bin_blocks=plan.bin_blocks,
+            **({"val_dtype": vdt} if vdt is not None else {}),
+        )
     except ValueError as e:
         raise SystemExit(
             f"ranked layout unavailable for this matrix ({e}); "
@@ -97,7 +105,16 @@ def main(argv=None):
     X = rng.standard_normal((mat.n, B)).astype(np.float32)
     Xj = jnp.asarray(X)
     Y = np.asarray(fn(layout, Xj))
-    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    mat_v = mat
+    if vdt is not None:
+        import copy
+
+        mat_v = copy.copy(mat)
+        mat_v.data = np.asarray(
+            jnp.asarray(mat.data, jnp.bfloat16), dtype=np.float32
+        )
+        print("(bf16 values: validated vs the bf16-rounded operator)")
+    Y_ref = np.stack([mat_v.matvec(X[:, b]) for b in range(B)], axis=1)
     wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))
     rel = float(
         np.linalg.norm(Y - Y_ref) / max(np.linalg.norm(Y_ref), 1e-30)

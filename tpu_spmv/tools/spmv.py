@@ -62,7 +62,7 @@ def main(argv=None):
                     "layout build (cuts padding on skewed-degree matrices); "
                     "-1 = follow the planner, 0 = off")
     ap.add_argument("--val-dtype", default="f32", choices=("f32", "bf16"),
-                    help="slab value storage dtype (ranked/packed kernels). "
+                    help="value storage dtype (ranked/packed/dia kernels). "
                     "bf16 halves the dominant value traffic of this "
                     "memory-bound kernel; validation then runs against the "
                     "bf16-rounded operator (exact), with drift vs the f32 "
@@ -175,10 +175,10 @@ def main(argv=None):
     import pathlib
 
     vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
-    if vdt is not None and kernel not in ("ranked", "packed"):
+    if vdt is not None and kernel not in ("ranked", "packed", "dia"):
         raise SystemExit(
-            f"--val-dtype bf16 supports the ranked/packed kernels, not "
-            f"{kernel!r}"
+            f"--val-dtype bf16 supports the ranked/packed/dia kernels, "
+            f"not {kernel!r}"
         )
 
     def build_or_load(cls):
@@ -261,7 +261,9 @@ def main(argv=None):
         from tpu_spmv.formats.dia import DiaSlabs
         from tpu_spmv.kernels.dia import spmv_dia
 
-        layout = DiaSlabs.from_csr(ck.matrix)
+        layout = DiaSlabs.from_csr(
+            ck.matrix, **({"val_dtype": vdt} if vdt is not None else {})
+        )
         fn = functools.partial(spmv_dia, interpret=interp)
         print(f"DIA: {layout.num_diagonals} diagonals, "
               f"fill {layout.padding_ratio:.2f}x")
