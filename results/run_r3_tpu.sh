@@ -53,6 +53,15 @@ probe
   | tee results/bf16_r3.txt
 
 probe
+# 4d. DIA natural-order rows for the stencil matrices (f32 datum; the
+#     bf16 stage above records the reduced-traffic variant).
+{ timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
+    --kernel dia --rcm never ; \
+  timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap3d_101 20 \
+    --kernel dia --rcm never ; } \
+  | tee results/dia_r3.txt
+
+probe
 # 4b. SpMM datum through the public CLI (was a scratch script in r2).
 timeout 1800 python -m tpu_spmv.tools.spmm synthetic:lap2d_1024 20 \
   --batch 8 --rcm always | tee results/spmm_r3.txt

@@ -133,6 +133,41 @@ def test_bf16_sharded_ranked_matches_rounded_oracle():
     assert _rel(y, _rounded(mat).matvec(x)) < 1e-6
 
 
+def test_bf16_striped_matches_rounded_oracle():
+    from tpu_spmv.bench.matrices import random_general
+    from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
+
+    mat = random_general(3000, 8, seed=1)
+    lay = StripedRanked.from_csr(
+        mat, stripe_cols=1024, bin_blocks=4, val_dtype=jnp.bfloat16
+    )
+    assert lay.vals.dtype == jnp.bfloat16
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_striped(lay, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.rounded(jnp.bfloat16).matvec(x)) < 1e-6
+
+
+def test_bf16_cli_fallback_validates_vs_f32_oracle(capsys):
+    """--val-dtype bf16 on a matrix whose span exceeds the packed-delta
+    range drops to the f32 sell kernel — the validation oracle must
+    follow the layout actually built (an exact f32 result judged
+    against the rounded operator would report spurious wrongs)."""
+    from tpu_spmv.tools import spmv
+
+    # 50k scattered columns with cluster-aligned slots (bin 0) spans
+    # ~390 x blocks per sub-tile — past the 256-block packed-delta
+    # range, so the ranked build deterministically falls back to sell.
+    rc = spmv.main([
+        "synthetic:general_50k", "--kernel", "ranked", "--val-dtype",
+        "bf16", "--bin-blocks", "0", "--sigma", "0", "--rcm", "never",
+        "--validate-only",
+    ])
+    out = capsys.readouterr().out
+    assert "falling back to sell" in out
+    assert "validated vs the f32 oracle" in out
+    assert rc == 0
+
+
 def test_bf16_spmm_inherits_cast():
     """spmm over a bf16 RankedSlabs layout widens on load too."""
     from tpu_spmv.kernels.spmm import spmm_ranked

@@ -138,6 +138,20 @@ class CSRMatrix:
         y[:] = sums.astype(np.float32)
         return y
 
+    def rounded(self, dtype) -> "CSRMatrix":
+        """Same pattern with values round-tripped through `dtype`
+        (e.g. jnp.bfloat16): the exact operator a val_dtype-reduced
+        layout stores, and therefore the oracle such runs validate
+        against (tools/spmv.py, tools/spmm.py, tests/test_bf16.py)."""
+        import jax.numpy as jnp
+
+        return CSRMatrix(
+            self.indptr,
+            self.indices,
+            np.asarray(jnp.asarray(self.data, dtype), dtype=np.float32),
+            self.shape,
+        )
+
     def diagonal(self) -> np.ndarray:
         """A[i, i] as a dense (m,) float32 vector (0 where absent).
 

@@ -125,11 +125,12 @@ class StripedRanked:
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, stripe_cols: int | None = None,
-        bin_blocks: int = 16,
+        bin_blocks: int = 16, val_dtype=None,
     ) -> "StripedRanked":
         """Cut columns into stripes and build one binned RankedSlabs per
         stripe (rows unchanged; stripe p's columns relabeled by
-        -p*stripe_cols). All stripes pad to common shapes."""
+        -p*stripe_cols). All stripes pad to common shapes. val_dtype
+        follows RankedSlabs.from_csr (bf16 halves value traffic)."""
         m, n = mat.shape
         sc = stripe_cols or default_stripe_cols()
         sc = _round_up(sc, LANES)
@@ -159,7 +160,8 @@ class StripedRanked:
             )
             stripes.append(
                 RankedSlabs.from_csr(
-                    sub, bin_blocks=bin_blocks, allow_groups=False
+                    sub, bin_blocks=bin_blocks, allow_groups=False,
+                    val_dtype=val_dtype,
                 )
             )
 

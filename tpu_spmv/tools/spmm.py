@@ -72,8 +72,7 @@ def main(argv=None):
     vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
     try:
         layout = RankedSlabs.from_csr(
-            mat, bin_blocks=plan.bin_blocks,
-            **({"val_dtype": vdt} if vdt is not None else {}),
+            mat, bin_blocks=plan.bin_blocks, val_dtype=vdt
         )
     except ValueError as e:
         raise SystemExit(
@@ -107,12 +106,7 @@ def main(argv=None):
     Y = np.asarray(fn(layout, Xj))
     mat_v = mat
     if vdt is not None:
-        import copy
-
-        mat_v = copy.copy(mat)
-        mat_v.data = np.asarray(
-            jnp.asarray(mat.data, jnp.bfloat16), dtype=np.float32
-        )
+        mat_v = mat.rounded(jnp.bfloat16)
         print("(bf16 values: validated vs the bf16-rounded operator)")
     Y_ref = np.stack([mat_v.matvec(X[:, b]) for b in range(B)], axis=1)
     wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))

@@ -175,17 +175,23 @@ def main(argv=None):
     import pathlib
 
     vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
-    if vdt is not None and kernel not in ("ranked", "packed", "dia"):
+    if vdt is not None and kernel not in (
+        "ranked", "packed", "dia", "striped"
+    ):
         raise SystemExit(
-            f"--val-dtype bf16 supports the ranked/packed/dia kernels, "
-            f"not {kernel!r}"
+            f"--val-dtype bf16 supports the ranked/packed/dia/striped "
+            f"kernels, not {kernel!r}"
         )
 
     def build_or_load(cls):
         cache = args.layout_cache
         # f32 keeps the historical 3-int config so existing caches stay
-        # valid; bf16 layouts get a distinct fingerprint.
-        cfg = (bin_blocks, sigma, k) + ((1,) if vdt is not None else ())
+        # valid; bf16 layouts get a distinct fingerprint. The marker
+        # tracks the layout actually built: a sell FALLBACK stores f32
+        # (SellSlabs has no val_dtype), so its cache must carry the f32
+        # fingerprint a later f32 run can load.
+        stores_bf16 = vdt is not None and cls is RankedSlabs
+        cfg = (bin_blocks, sigma, k) + ((1,) if stores_bf16 else ())
         if cache and pathlib.Path(cache).exists():
             from tpu_spmv.formats.sell import load_layout
 
@@ -197,9 +203,7 @@ def main(argv=None):
                 )
             print(f"loaded layout from {cache}")
             return lay
-        kw = {}
-        if vdt is not None and cls is RankedSlabs:
-            kw["val_dtype"] = vdt
+        kw = {"val_dtype": vdt} if cls is RankedSlabs else {}
         lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks, **kw)
         if cache:
             lay.save(cache, matrix=ck.matrix, config=cfg)
@@ -229,7 +233,7 @@ def main(argv=None):
                 )
 
                 layout = StripedRanked.from_csr(
-                    ck.matrix, bin_blocks=bin_blocks
+                    ck.matrix, bin_blocks=bin_blocks, val_dtype=vdt
                 )
                 fn = functools.partial(spmv_striped, interpret=interp)
                 print(
@@ -261,9 +265,7 @@ def main(argv=None):
         from tpu_spmv.formats.dia import DiaSlabs
         from tpu_spmv.kernels.dia import spmv_dia
 
-        layout = DiaSlabs.from_csr(
-            ck.matrix, **({"val_dtype": vdt} if vdt is not None else {})
-        )
+        layout = DiaSlabs.from_csr(ck.matrix, val_dtype=vdt)
         fn = functools.partial(spmv_dia, interpret=interp)
         print(f"DIA: {layout.num_diagonals} diagonals, "
               f"fill {layout.padding_ratio:.2f}x")
@@ -272,9 +274,7 @@ def main(argv=None):
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
-        layout = PackedRanked.from_csr(
-            ck.matrix, **({"val_dtype": vdt} if vdt is not None else {})
-        )
+        layout = PackedRanked.from_csr(ck.matrix, val_dtype=vdt)
         fn = functools.partial(spmv_packed, interpret=interp)
         print(f"packed mixed-height slabs: pad "
               f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}")
@@ -283,7 +283,8 @@ def main(argv=None):
         from tpu_spmv.kernels.striped import StripedRanked, spmv_striped
 
         layout = StripedRanked.from_csr(
-            ck.matrix, bin_blocks=bin_blocks if bin_blocks > 0 else 16
+            ck.matrix, bin_blocks=bin_blocks if bin_blocks > 0 else 16,
+            val_dtype=vdt,
         )
         fn = functools.partial(spmv_striped, interpret=interp)
         print(f"column stripes: P={layout.num_stripes}, "
@@ -299,16 +300,16 @@ def main(argv=None):
         bytes_per_nnz = 12.0
 
     y = np.asarray(fn(layout, xj))
-    if vdt is not None:
+    # bf16 applies to the layout ACTUALLY built: a fallback (sell) or a
+    # cache load may store f32 despite --val-dtype, and an f32 result
+    # must not be judged against the rounded operator.
+    lay_vals = getattr(layout, "vals", None)
+    bf16_active = lay_vals is not None and lay_vals.dtype == jnp.bfloat16
+    if bf16_active:
         # The user opted into bf16-rounded value STORAGE; correctness of
         # the kernel is exactness against the rounded operator. Drift vs
         # the full-precision oracle is reported for information.
-        import copy
-
-        mat_r = copy.copy(mat)
-        mat_r.data = np.asarray(
-            jnp.asarray(mat.data, jnp.bfloat16), dtype=np.float32
-        )
+        mat_r = mat.rounded(jnp.bfloat16)
         wrong, rel = validate(y, mat_r.matvec(x)[out_perm], tol=args.tol)
         y_f32 = mat.matvec(x)[out_perm]
         drift = np.linalg.norm(y - y_f32) / max(np.linalg.norm(y_f32), 1e-30)
@@ -316,6 +317,9 @@ def main(argv=None):
               f"RelL2 vs the f32 oracle = {drift:.2e})")
     else:
         wrong, rel = validate(y, mat.matvec(x)[out_perm], tol=args.tol)
+        if vdt is not None:
+            print("(--val-dtype bf16 requested but the built layout "
+                  "stores f32; validated vs the f32 oracle)")
     if args.validate_only:
         print(f"Number Wrong: {wrong} ")
         print(f"RelL2: {rel:.3g}")
