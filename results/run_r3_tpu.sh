@@ -53,6 +53,13 @@ probe
   | tee results/bf16_r3.txt
 
 probe
+# 4e. bf16 rows for the bench suite (keyed '<kernel>+bf16' in the same
+#     CSV; validated against the bf16-rounded operator).
+timeout 3600 python -m tpu_spmv.tools.sweep \
+  --out results/sweep_bench_tpu_r3.csv --scale bench --rcm --k 1 --srs 16 \
+  --kernels ranked --val-dtype bf16
+
+probe
 # 4d. DIA natural-order rows for the stencil matrices (f32 datum; the
 #     bf16 stage above records the reduced-traffic variant).
 { timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \

@@ -91,6 +91,11 @@ def main(argv=None):
     ap.add_argument("--srs", nargs="*", type=int,
                     default=[8, 16, 24, 32, 48, 64, 96, 128],
                     help="super-row size grid (reference grid run_epyc.py:24)")
+    ap.add_argument("--val-dtype", default="f32", choices=("f32", "bf16"),
+                    help="value storage dtype for the ranked/packed/"
+                    "striped/dia kernels (bf16 rows are keyed "
+                    "'<kernel>+bf16' and validated against the "
+                    "bf16-rounded operator)")
     args = ap.parse_args(argv)
 
     from tpu_spmv.hw import interpret_mode
@@ -111,6 +116,15 @@ def main(argv=None):
     from tpu_spmv.kernels.pallas_sell import spmv_ranked, spmv_sell
     from tpu_spmv.kernels.segsum import SegsumLayout, spmv_segsum
 
+    vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
+    if vdt is not None:
+        bad = set(args.kernels) - {"ranked", "packed", "striped", "dia"}
+        if bad:
+            raise SystemExit(
+                f"--val-dtype bf16 supports ranked/packed/striped/dia "
+                f"sweep kernels, not {sorted(bad)}"
+            )
+
     suite = M.suite_factories(args.scale)
     entries = args.matrices or list(suite)
     out = pathlib.Path(args.out)
@@ -128,8 +142,9 @@ def main(argv=None):
                 mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
             x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
             for kernel in args.kernels:
+                kname = kernel if vdt is None else f"{kernel}+bf16"
                 for srs in args.srs:
-                    key = (name, kernel, str(args.k), str(srs))
+                    key = (name, kname, str(args.k), str(srs))
                     if key in done:
                         continue
                     try:
@@ -162,19 +177,22 @@ def main(argv=None):
                                     mat_l, plan = mat_s, plan_s
                                     vperm = ck.perm[sperm]
                             kern, bb = plan.kernel, plan.bin_blocks
+                        vkw = {"val_dtype": vdt}
                         if kern == "sell":
                             lay = SellSlabs.from_csr(mat_l, bin_blocks=bb)
                             fn = functools.partial(spmv_sell, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.max_nb
                         elif kern == "ranked":
-                            lay = RankedSlabs.from_csr(mat_l, bin_blocks=bb)
+                            lay = RankedSlabs.from_csr(
+                                mat_l, bin_blocks=bb, **vkw
+                            )
                             fn = functools.partial(spmv_ranked, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "dia":
                             from tpu_spmv.formats.dia import DiaSlabs
                             from tpu_spmv.kernels.dia import spmv_dia
 
-                            lay = DiaSlabs.from_csr(mat_l)
+                            lay = DiaSlabs.from_csr(mat_l, **vkw)
                             fn = functools.partial(spmv_dia, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.num_diagonals
                         elif kern == "striped":
@@ -183,7 +201,8 @@ def main(argv=None):
                             )
 
                             lay = StripedRanked.from_csr(
-                                mat_l, bin_blocks=bb if bb > 0 else 16
+                                mat_l, bin_blocks=bb if bb > 0 else 16,
+                                **vkw,
                             )
                             fn = functools.partial(spmv_striped, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
@@ -191,7 +210,7 @@ def main(argv=None):
                             from tpu_spmv.formats.packed import PackedRanked
                             from tpu_spmv.kernels.packed import spmv_packed
 
-                            lay = PackedRanked.from_csr(mat_l)
+                            lay = PackedRanked.from_csr(mat_l, **vkw)
                             fn = functools.partial(spmv_packed, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
@@ -203,10 +222,11 @@ def main(argv=None):
                             fn = spmv_segsum
                             pad, nb = 1.0, 0
                         y = np.asarray(fn(lay, xj))
-                        wrong, rel = validate(y, mat.matvec(x)[vperm])
+                        mat_v = mat if vdt is None else mat.rounded(vdt)
+                        wrong, rel = validate(y, mat_v.matvec(x)[vperm])
                         r = bench_spmv(fn, lay, xj)
                         row = {
-                            "matrix": name, "kernel": kernel, "k": args.k,
+                            "matrix": name, "kernel": kname, "k": args.k,
                             "srs": srs, "rows": mat.m, "nnz": mat.nnz,
                             "time_min": f"{r.time_min:.6g}",
                             "time_max": f"{r.time_max:.6g}",
@@ -223,7 +243,7 @@ def main(argv=None):
                     writer.writerow(row)
                     f.flush()
                     print(
-                        f"{name} {kernel} srs={srs}: {row['gflops']} GFLOP/s "
+                        f"{name} {kname} srs={srs}: {row['gflops']} GFLOP/s "
                         f"wrong={wrong}"
                     )
     return 0
