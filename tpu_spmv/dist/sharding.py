@@ -310,6 +310,12 @@ class ShardedRanked:
     # single-chip layout, group_code == 0 disables grouping.
     grp_b0: jax.Array = None
     group_code: int = 0
+    # Per-shard x length the local kernel sees; 0 derives the historical
+    # value (rows_per_shard + 2*halo with a halo, else n). The overlap
+    # split (build_overlap) sets it explicitly: the main stack consumes
+    # exactly x_shard (rows_per_shard) and the edge stack exactly the
+    # 2*halo exchanged rows.
+    local_n: int = 0
 
     def tree_flatten(self):
         children = (
@@ -320,19 +326,20 @@ class ShardedRanked:
             self.m, self.n, self.nnz, self.rows_per_shard,
             self.num_chunks_local, self.rank_nb, self.n_devices, self.halo,
             self.chunk_q, self.win_w, self.tile_k, self.group_code,
+            self.local_n,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:7], *aux[:11], grp_b0=children[7],
-                   group_code=aux[11])
+                   group_code=aux[11], local_n=aux[12])
 
     def _local_layout_struct(
         self, vals, lcols, sub_b0, sub_dlo, sub_dhi, sub_chunk, tile_b0,
         grp_b0,
     ) -> RankedSlabs:
-        local_n = (
+        local_n = self.local_n or (
             self.rows_per_shard + 2 * self.halo if self.halo else self.n
         )
         return RankedSlabs(
@@ -367,6 +374,17 @@ class ShardedRanked:
         blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
             mat, n_devices, halo
         )
+        return cls._from_blocks(
+            blocks, m=m, n=n, nnz=mat.nnz, rows_per_shard=rows_per_shard,
+            halo_rows=halo_rows, bin_blocks=bin_blocks, val_dtype=val_dtype,
+        )
+
+    @classmethod
+    def _from_blocks(
+        cls, blocks, *, m, n, nnz, rows_per_shard, halo_rows,
+        bin_blocks=0, val_dtype=None, local_n=0, allow_groups=True,
+    ) -> "ShardedRanked":
+        n_devices = len(blocks)
         # Grouped windows across shards: every shard must run the SAME
         # static grouped kernel, so shard 0's greedy partition becomes
         # the global group_plan and the other shards are built against
@@ -377,7 +395,10 @@ class ShardedRanked:
         # gave up (docs/PERF_NOTES.md grouped-window section).
         vkw = {"val_dtype": val_dtype} if val_dtype is not None else {}
         shards = [
-            RankedSlabs.from_csr(blocks[0], bin_blocks=bin_blocks, **vkw)
+            RankedSlabs.from_csr(
+                blocks[0], bin_blocks=bin_blocks,
+                allow_groups=allow_groups, **vkw,
+            )
         ]
         plan = shards[0].group_members if shards[0].group_code else None
         # Budget from the planning shard's paired-load extent: the
@@ -451,7 +472,7 @@ class ShardedRanked:
             tile_b0=jnp.asarray(tile_b0),
             m=m,
             n=n,
-            nnz=mat.nnz,
+            nnz=nnz,
             rows_per_shard=rows_per_shard,
             num_chunks_local=num_chunks_local,
             rank_nb=rank_nb,
@@ -471,6 +492,7 @@ class ShardedRanked:
             tile_k=tile_k,
             grp_b0=jnp.asarray(grp_b0),
             group_code=group_code,
+            local_n=local_n,
         )
 
     def device_put(self, mesh: Mesh, axis="rows") -> "ShardedRanked":
@@ -479,6 +501,207 @@ class ShardedRanked:
     @property
     def padded_m(self) -> int:
         return self.rows_per_shard * self.n_devices
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class OverlapRanked:
+    """Communication/compute-overlapped distributed flagship.
+
+    spmv_sharded's local kernel consumes the halo-extended x, so the
+    neighbor ppermute must land before the Pallas kernel starts — the
+    exchange sits on the critical path. This split removes the
+    dependency: every nonzero is owned by exactly one of two stacks,
+
+      main: columns inside the owning shard's own rows — consumes
+            x_shard DIRECTLY (no exchange);
+      edge: columns in a neighbor's rows (at most `halo` past either
+            boundary by construction) — consumes ONLY the 2*halo
+            exchanged rows.
+
+    y = main(x_shard) + edge(concat(from_left, from_right)): the main
+    kernel has no data dependency on the ppermutes, so XLA's TPU
+    latency-hiding scheduler overlaps the halo exchange with the bulk
+    of the SpMV; only the small edge kernel (band-boundary nonzeros)
+    waits on the wire. The reference has no analog (nothing crosses a
+    process boundary there, SURVEY.md §2.5); this is SURVEY §7's "halo
+    overlap" hard part, solved by entry splitting rather than double
+    buffering.
+
+    f32 note: the split changes the accumulation ORDER for boundary
+    rows (edge contributions are added after the main dot) — a ~1-ulp
+    effect, inside the 1e-6 rel-L2 test bar.
+    """
+
+    main: ShardedRanked
+    edge: ShardedRanked
+
+    def tree_flatten(self):
+        return (self.main, self.edge), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    @property
+    def halo(self) -> int:
+        return self.main.halo
+
+    @property
+    def n_devices(self) -> int:
+        return self.main.n_devices
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.main.rows_per_shard
+
+    @property
+    def padded_m(self) -> int:
+        return self.main.padded_m
+
+    @property
+    def m(self) -> int:
+        return self.main.m
+
+    @property
+    def n(self) -> int:
+        return self.main.n
+
+    @property
+    def nnz(self) -> int:
+        return self.main.nnz + self.edge.nnz
+
+    def device_put(self, mesh: Mesh, axis="rows") -> "OverlapRanked":
+        return OverlapRanked(
+            main=self.main.device_put(mesh, axis),
+            edge=self.edge.device_put(mesh, axis),
+        )
+
+    @classmethod
+    def build(
+        cls, mat: CSRMatrix, n_devices: int, bin_blocks: int = 0,
+        val_dtype=None,
+    ) -> "OverlapRanked":
+        """Raises ValueError when the banded halo exchange does not
+        apply (the split is meaningless under all-gather — callers fall
+        back to ShardedRanked there)."""
+        m, n = mat.shape
+        blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
+            mat, n_devices, "always"
+        )
+        H = halo_rows
+        rows_cache = {}
+
+        def split(blk, mask, width, shift):
+            key = id(blk)
+            if key not in rows_cache:
+                rows_cache[key] = np.repeat(
+                    np.arange(blk.m, dtype=np.int64), blk.row_lengths
+                )
+            rows = rows_cache[key]
+            ip = np.zeros(blk.m + 1, np.int64)
+            np.add.at(ip, rows[mask] + 1, 1)
+            np.cumsum(ip, out=ip)
+            return CSRMatrix(
+                ip.astype(np.int32),
+                shift(blk.indices[mask].astype(np.int64)).astype(np.int32),
+                blk.data[mask],
+                (blk.m, width),
+            )
+
+        main_blocks, edge_blocks, edge_nnz = [], [], 0
+        for blk in blocks:
+            cols = blk.indices.astype(np.int64)
+            interior = (cols >= H) & (cols < H + rows_per_shard)
+            main_blocks.append(
+                split(blk, interior, rows_per_shard, lambda c: c - H)
+            )
+            edge_nnz += int((~interior).sum())
+            edge_blocks.append(
+                split(
+                    blk, ~interior, 2 * H,
+                    lambda c: np.where(c < H, c, c - rows_per_shard),
+                )
+            )
+        main = ShardedRanked._from_blocks(
+            main_blocks, m=m, n=n, nnz=mat.nnz - edge_nnz,
+            rows_per_shard=rows_per_shard, halo_rows=H,
+            bin_blocks=bin_blocks, val_dtype=val_dtype,
+            local_n=rows_per_shard,
+        )
+        edge = ShardedRanked._from_blocks(
+            edge_blocks, m=m, n=n, nnz=edge_nnz,
+            rows_per_shard=rows_per_shard, halo_rows=H,
+            val_dtype=val_dtype, local_n=2 * H, allow_groups=False,
+        )
+        return cls(main=main, edge=edge)
+
+
+def spmv_overlap(
+    layout: OverlapRanked,
+    x: jax.Array,
+    mesh: Mesh,
+    axis="rows",
+    interpret: bool | None = None,
+):
+    """y = A @ x with the halo exchange overlapped behind the main
+    kernel (see OverlapRanked). Same calling convention as
+    spmv_sharded: x (padded_m,) row-sharded P(axis), axis may be a
+    tuple for the multi-host hybrid mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    D = layout.n_devices
+    D_mesh = mesh_axis_size(mesh, axis)
+    if D_mesh != D:
+        raise ValueError(
+            f"layout was built for {D} shards but axis {axis!r} spans "
+            f"{D_mesh} devices"
+        )
+    H = layout.halo
+    main, edge = layout.main, layout.edge
+
+    def local(mv, ml, mb0, mdlo, mdhi, mchunk, mtile, mgrp,
+              ev, el, eb0, edlo, edhi, echunk, etile, egrp, x_shard):
+        # Issue the exchanges FIRST; nothing below the main kernel call
+        # depends on them, so the scheduler can keep them in flight.
+        from_left = jax.lax.ppermute(
+            x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
+        )
+        from_right = jax.lax.ppermute(
+            x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
+        )
+        main_local = main._local_layout_struct(
+            mv[0], ml[0], mb0[0], mdlo[0], mdhi[0], mchunk[0], mtile[0],
+            mgrp[0],
+        )
+        y = spmv_ranked(main_local, x_shard, interpret=interpret)
+        edge_local = edge._local_layout_struct(
+            ev[0], el[0], eb0[0], edlo[0], edhi[0], echunk[0], etile[0],
+            egrp[0],
+        )
+        y = y + spmv_ranked(
+            edge_local,
+            jnp.concatenate([from_left, from_right]),
+            interpret=interpret,
+        )
+        return y[None]
+
+    operands = (
+        main.vals, main.lcols, main.sub_b0, main.sub_dlo, main.sub_dhi,
+        main.sub_chunk, main.tile_b0, main.grp_b0,
+        edge.vals, edge.lcols, edge.sub_b0, edge.sub_dlo, edge.sub_dhi,
+        edge.sub_chunk, edge.tile_b0, edge.grp_b0,
+        x,
+    )
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(operands),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(*operands).reshape(-1)
 
 
 def _exchange_x(layout, x_shard, axis):
