@@ -340,3 +340,20 @@ def test_overlap_empty_edges():
     y = np.asarray(spmv_overlap(lay, xj, mesh))[: mat.m]
     y_ref = mat.matvec(x)
     assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_cg_on_overlap_layout():
+    """Solvers dispatch to spmv_overlap for OverlapRanked layouts."""
+    from tpu_spmv.dist.sharding import OverlapRanked
+
+    mesh = _mesh_or_skip(4)
+    mat = random_banded(2000, 50, 8, seed=2)  # SPD by construction
+    lay = OverlapRanked.build(mat, 4)
+    assert lay.edge.nnz > 0  # band crosses shard boundaries at D=4
+    lay = lay.device_put(mesh)
+    b = np.ones(mat.m, np.float32)
+    bj = _shard_vec(b, lay.padded_m, mesh)
+    x, rz = cg_solve(lay, bj, mesh, iters=120)
+    x = np.asarray(x)[: mat.m]
+    resid = np.linalg.norm(mat.matvec(x) - b) / np.sqrt(mat.m)
+    assert resid < 1e-4

@@ -14,14 +14,26 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu_spmv.dist.sharding import ShardedRanked, ShardedSell, spmv_sharded  # noqa: F401
+from tpu_spmv.dist.sharding import (  # noqa: F401
+    OverlapRanked, ShardedRanked, ShardedSell, spmv_overlap, spmv_sharded,
+)
+
+
+def _spmv_any(layout, v, mesh, axis):
+    """Dispatch to the overlapped kernel when the layout carries the
+    interior/edge split (OverlapRanked), else the exchange-then-compute
+    path."""
+    if isinstance(layout, OverlapRanked):
+        return spmv_overlap(layout, v, mesh, axis)
+    return spmv_sharded(layout, v, mesh, axis)
 
 
 def cg_step(layout, mesh: Mesh, state, axis="rows"):
-    # layout: ShardedSell or ShardedRanked (the flagship).
+    # layout: ShardedSell, ShardedRanked (the flagship), or
+    # OverlapRanked (the communication/compute-overlapped flagship).
     """One CG iteration; all vectors row-sharded over `axis`."""
     x, r, p, rz = state
-    Ap = spmv_sharded(layout, p, mesh, axis)
+    Ap = _spmv_any(layout, p, mesh, axis)
     pAp = jnp.vdot(p, Ap)
     alpha = rz / jnp.maximum(pAp, 1e-30)
     x = x + alpha * p
@@ -75,7 +87,7 @@ def pcg_solve(
 
     def step(layout, inv_diag, state):
         x, r, p, rz = state
-        Ap = spmv_sharded(layout, p, mesh, axis)
+        Ap = _spmv_any(layout, p, mesh, axis)
         pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.maximum(pAp, 1e-30)
         x = x + alpha * p

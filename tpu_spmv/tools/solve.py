@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
     ap.add_argument("--tol", type=float, default=1e-4,
                     help="RMS residual bound for exit status")
+    ap.add_argument("--overlap", action="store_true",
+                    help="use the communication/compute-overlapped "
+                    "layout (OverlapRanked: the halo ppermute runs "
+                    "behind the main kernel); falls back to the "
+                    "exchange-then-compute path when the banded halo "
+                    "does not apply")
     args = ap.parse_args(argv)
 
     from tpu_spmv.hw import interpret_mode
@@ -62,7 +68,19 @@ def main(argv=None):
     if D > avail:
         raise SystemExit(f"requested {D} devices, only {avail} available")
     mesh = make_row_mesh(jax.devices()[:D])
-    lay = ShardedRanked.build(mat, D).device_put(mesh)
+    lay = None
+    if args.overlap and D > 1:
+        from tpu_spmv.dist.sharding import OverlapRanked
+
+        try:
+            lay = OverlapRanked.build(mat, D).device_put(mesh)
+            print(f"overlap split: edge nnz = {lay.edge.nnz} "
+                  f"({100 * lay.edge.nnz / max(mat.nnz, 1):.1f}% waits "
+                  "on the exchange)")
+        except ValueError as e:
+            print(f"overlap unavailable ({e}); using spmv_sharded")
+    if lay is None:
+        lay = ShardedRanked.build(mat, D).device_put(mesh)
     print(f"devices={D} halo={lay.halo} rows/shard={lay.padded_m // D}")
 
     b_host = np.ones(mat.m, np.float32)  # x_exact-independent RHS
