@@ -357,3 +357,25 @@ def test_cg_on_overlap_layout():
     x = np.asarray(x)[: mat.m]
     resid = np.linalg.norm(mat.matvec(x) - b) / np.sqrt(mat.m)
     assert resid < 1e-4
+
+
+def test_spmm_overlap_matches_oracle():
+    from tpu_spmv.dist.sharding import OverlapRanked, spmm_overlap
+
+    mesh = _mesh_or_skip(4)
+    mat = random_banded(2000, 50, 8, seed=4)
+    lay = OverlapRanked.build(mat, 4)
+    assert lay.edge.nnz > 0
+    lay = lay.device_put(mesh)
+    B = 3
+    X = np.random.default_rng(0).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Xp = np.zeros((lay.padded_m, B), np.float32)
+    Xp[: mat.n] = X
+    Xj = jax.device_put(
+        jnp.asarray(Xp), NamedSharding(mesh, P("rows"))
+    )
+    Y = np.asarray(spmm_overlap(lay, Xj, mesh))[: mat.m]
+    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    assert np.linalg.norm(Y - Y_ref) / np.linalg.norm(Y_ref) < 1e-6

@@ -1,6 +1,6 @@
 from tpu_spmv.dist.sharding import (  # noqa: F401
-    OverlapRanked, ShardedRanked, ShardedSell, make_row_mesh, spmm_sharded,
-    spmv_overlap, spmv_sharded,
+    OverlapRanked, ShardedRanked, ShardedSell, make_row_mesh,
+    spmm_overlap, spmm_sharded, spmv_overlap, spmv_sharded,
 )
 from tpu_spmv.dist.solvers import cg_solve, pcg_solve  # noqa: F401
 

@@ -850,3 +850,70 @@ def spmm_sharded(
         layout.vals, layout.lcols, layout.sub_b0, layout.sub_dlo,
         layout.sub_dhi, layout.sub_chunk, layout.tile_b0, layout.grp_b0, X,
     ).reshape(-1, B)
+
+
+def spmm_overlap(
+    layout: OverlapRanked,
+    X: jax.Array,
+    mesh: Mesh,
+    axis="rows",
+    interpret: bool | None = None,
+):
+    """Y = A @ X with the (H, B) halo blocks overlapped behind the main
+    spmm kernel — the SpMM counterpart of spmv_overlap (B columns make
+    the main kernel longer while the wire moves the same halo rows x B,
+    so the overlap window is even more favorable than SpMV's)."""
+    from tpu_spmv.kernels.spmm import spmm_ranked
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    D = layout.n_devices
+    D_mesh = mesh_axis_size(mesh, axis)
+    if D_mesh != D:
+        raise ValueError(
+            f"layout was built for {D} shards but axis {axis!r} spans "
+            f"{D_mesh} devices"
+        )
+    H = layout.halo
+    B = int(X.shape[-1])
+    main, edge = layout.main, layout.edge
+
+    def local(mv, ml, mb0, mdlo, mdhi, mchunk, mtile, mgrp,
+              ev, el, eb0, edlo, edhi, echunk, etile, egrp, x_shard):
+        from_left = jax.lax.ppermute(
+            x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
+        )
+        from_right = jax.lax.ppermute(
+            x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
+        )
+        main_local = main._local_layout_struct(
+            mv[0], ml[0], mb0[0], mdlo[0], mdhi[0], mchunk[0], mtile[0],
+            mgrp[0],
+        )
+        y = spmm_ranked(main_local, x_shard, interpret=interpret)
+        edge_local = edge._local_layout_struct(
+            ev[0], el[0], eb0[0], edlo[0], edhi[0], echunk[0], etile[0],
+            egrp[0],
+        )
+        y = y + spmm_ranked(
+            edge_local,
+            jnp.concatenate([from_left, from_right]),
+            interpret=interpret,
+        )
+        return y[None]
+
+    operands = (
+        main.vals, main.lcols, main.sub_b0, main.sub_dlo, main.sub_dhi,
+        main.sub_chunk, main.tile_b0, main.grp_b0,
+        edge.vals, edge.lcols, edge.sub_b0, edge.sub_dlo, edge.sub_dhi,
+        edge.sub_chunk, edge.tile_b0, edge.grp_b0,
+        X,
+    )
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(operands),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(*operands).reshape(-1, B)
