@@ -115,6 +115,26 @@ _WORKER = textwrap.dedent(
         )
         assert rel < 1e-6, (sh.index, rel)
 
+    # Overlapped SpMV: the interior/edge split's edge ppermutes cross
+    # the process (DCN-analog) boundary — where the overlap actually
+    # pays (docs/PERF_NOTES.md overlap model).
+    from tpu_spmv.dist.sharding import OverlapRanked, spmv_overlap
+
+    olay = OverlapRanked.build(mat, D)
+    assert olay.edge.nnz > 0
+    op = olay.device_put(mesh, axis)
+    y_o = spmv_overlap(op, xj, mesh, axis=axis)
+    for sh in y_o.addressable_shards:
+        (sl,) = sh.index
+        r0 = sl.start or 0
+        ref = np.zeros(np.asarray(sh.data).shape[0], np.float32)
+        take = max(min(mat.m - r0, ref.shape[0]), 0)
+        ref[:take] = y_ref[r0 : r0 + take]
+        rel = np.linalg.norm(np.asarray(sh.data) - ref) / max(
+            np.linalg.norm(ref), 1e-30
+        )
+        assert rel < 1e-6, ("overlap", sh.index, rel)
+
     print(f"OK process {jax.process_index()} rel-checked rows={checked}")
     """
 )
