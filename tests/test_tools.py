@@ -287,3 +287,27 @@ def test_sts_cli_distributed(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "devices=4" in out and "Number Wrong: 0" in out
+
+
+def test_spmm_cli_distributed(capsys):
+    """Distributed SpMM through the public CLI (--devices), plain and
+    overlapped+bf16 (the combined net-new path)."""
+    import jax
+    import pytest
+
+    from tpu_spmv.tools import spmm
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rc = spmm.main([
+        "synthetic:banded_1k", "--batch", "3", "--devices", "4",
+        "--validate-only",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Number Wrong: 0" in out
+    rc = spmm.main([
+        "synthetic:banded_1k", "--batch", "3", "--devices", "4",
+        "--overlap", "--val-dtype", "bf16", "--validate-only",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "bf16-rounded operator" in out

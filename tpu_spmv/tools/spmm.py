@@ -39,6 +39,13 @@ def main(argv=None):
                     help="slab value storage dtype; bf16 halves the "
                     "per-column-amortized value traffic (validated against "
                     "the bf16-rounded operator, f32 drift reported)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help=">1: row-shard A over a device mesh and run the "
+                    "distributed SpMM (dist.spmm_sharded); 0 = all "
+                    "available devices")
+    ap.add_argument("--overlap", action="store_true",
+                    help="with --devices: overlap the halo exchange "
+                    "behind the main kernel (dist.OverlapRanked)")
     ap.add_argument("--validate-only", action="store_true")
     args = ap.parse_args(argv)
 
@@ -66,10 +73,12 @@ def main(argv=None):
             print("RCM applied")
 
     B = args.batch
+    vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
+    if args.devices != 1:
+        return _distributed(mat, args, B, vdt)
     # Plan-driven bin width: scattered structure exceeds the aligned
     # windows' packed-delta range (same fallback story as tools/spmv.py).
     plan = tpu_plan(mat, assume_rcm=perm is not None)
-    vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
     try:
         layout = RankedSlabs.from_csr(
             mat, bin_blocks=plan.bin_blocks, val_dtype=vdt
@@ -130,6 +139,70 @@ def main(argv=None):
         f"vals/s: {res.gnnzs * 1e9:.4g} "
         f"({100 * res.gnnzs * 1e9 / roof:.0f}% of roofline) B={B}"
     )
+    print(f"Number Wrong: {wrong} ")
+    print(f"RelL2: {rel:.3g}")
+    return 0 if wrong == 0 else 1
+
+
+def _distributed(mat, args, B, vdt):
+    """Row-sharded SpMM over all/requested devices — the distributed
+    serving path (dist.spmm_sharded / dist.spmm_overlap), validated
+    against the serial oracle like the single-chip mode."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_spmv.bench.harness import bench_spmv
+    from tpu_spmv.dist.sharding import (
+        OverlapRanked, ShardedRanked, make_row_mesh, spmm_overlap,
+        spmm_sharded,
+    )
+
+    avail = len(jax.devices())
+    D = args.devices or avail
+    if D > avail:
+        raise SystemExit(f"requested {D} devices, only {avail} available")
+    mesh = make_row_mesh(jax.devices()[:D])
+    lay = None
+    if args.overlap:
+        try:
+            lay = OverlapRanked.build(mat, D, val_dtype=vdt)
+            fn = functools.partial(spmm_overlap, mesh=mesh)
+            print(f"overlap split: edge nnz = {lay.edge.nnz}")
+        except ValueError as e:
+            print(f"overlap unavailable ({e}); using spmm_sharded")
+    if lay is None:
+        lay = ShardedRanked.build(mat, D, val_dtype=vdt)
+        fn = functools.partial(spmm_sharded, mesh=mesh)
+    lay = lay.device_put(mesh)
+    print(f"devices={D} halo={lay.halo} rows/shard={lay.padded_m // D}")
+
+    X = np.random.default_rng(0).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Xp = np.zeros((lay.padded_m, B), np.float32)
+    Xp[: mat.n] = X
+    Xj = jax.device_put(
+        jnp.asarray(Xp), NamedSharding(mesh, P("rows"))
+    )
+    Y = np.asarray(fn(lay, Xj))[: mat.m]
+    mat_v = mat if vdt is None else mat.rounded(vdt)
+    if vdt is not None:
+        print("(bf16 values: validated vs the bf16-rounded operator)")
+    Y_ref = np.stack([mat_v.matvec(X[:, b]) for b in range(B)], axis=1)
+    wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))
+    rel = float(
+        np.linalg.norm(Y - Y_ref) / max(np.linalg.norm(Y_ref), 1e-30)
+    )
+    if not args.validate_only:
+        res = bench_spmv(
+            fn, lay, Xj, reps_hi=8 + max(args.num_runs, 20),
+            nnz=mat.nnz * B,
+        )
+        print(res.summary(), end="")
+        print(f"vals/s: {res.gnnzs * 1e9:.4g} B={B} D={D}")
     print(f"Number Wrong: {wrong} ")
     print(f"RelL2: {rel:.3g}")
     return 0 if wrong == 0 else 1
