@@ -280,8 +280,14 @@ def test_overlap_spmv_matches_oracle(n_dev):
     mesh = _mesh_or_skip(n_dev)
     mat = random_banded(3000, 60, 8, seed=0)
     lay = OverlapRanked.build(mat, n_dev)
-    # The split must conserve nonzeros and keep the edge stack small.
-    assert lay.main.nnz + lay.edge.nnz == mat.nnz
+    # The split must conserve nonzeros (counted from the slab VALUES,
+    # not the stored metadata — a mask bug that dropped or duplicated
+    # entries must fail here; random_banded stores no explicit zeros)
+    # and keep the edge stack small.
+    real = int((np.asarray(lay.main.vals) != 0).sum()) + int(
+        (np.asarray(lay.edge.vals) != 0).sum()
+    )
+    assert real == mat.nnz
     assert 0 < lay.edge.nnz < mat.nnz // 4
     lay = lay.device_put(mesh)
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
@@ -340,6 +346,27 @@ def test_overlap_empty_edges():
     y = np.asarray(spmv_overlap(lay, xj, mesh))[: mat.m]
     y_ref = mat.matvec(x)
     assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_overlap_build_rejects_nonbanded():
+    """Rectangular matrices (and D=1) have no banded halo: build must
+    raise ValueError so CLIs fall back to the exchange path instead of
+    mis-splitting on GLOBAL columns (review r3)."""
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.dist.sharding import OverlapRanked
+
+    rng = np.random.default_rng(0)
+    rect = CSRMatrix(
+        np.arange(0, 4097 * 4, 4, dtype=np.int64).astype(np.int32),
+        rng.integers(0, 256, 4096 * 4).astype(np.int32),
+        rng.standard_normal(4096 * 4).astype(np.float32),
+        (4096, 256),
+    )
+    with pytest.raises(ValueError, match="banded neighbor halo"):
+        OverlapRanked.build(rect, 4)
+    sq = random_banded(2000, 50, 8, seed=0)
+    with pytest.raises(ValueError, match="banded neighbor halo"):
+        OverlapRanked.build(sq, 1)
 
 
 def test_cg_on_overlap_layout():

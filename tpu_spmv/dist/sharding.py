@@ -590,6 +590,16 @@ class OverlapRanked:
         blocks, halo_rows, rows_per_shard = _slice_shard_blocks(
             mat, n_devices, "always"
         )
+        if halo_rows == 0:
+            # "always" raises only for over-wide square coupling;
+            # rectangular matrices and n_devices == 1 fall through with
+            # halo 0, where the interior/edge split is meaningless (the
+            # interior mask would misread GLOBAL columns as shard-local).
+            raise ValueError(
+                "overlap split needs the banded neighbor halo (square "
+                f"matrix, >1 device); got shape {mat.shape}, "
+                f"n_devices={n_devices}"
+            )
         H = halo_rows
         rows_cache = {}
 
@@ -638,17 +648,11 @@ class OverlapRanked:
         return cls(main=main, edge=edge)
 
 
-def spmv_overlap(
-    layout: OverlapRanked,
-    x: jax.Array,
-    mesh: Mesh,
-    axis="rows",
-    interpret: bool | None = None,
-):
-    """y = A @ x with the halo exchange overlapped behind the main
-    kernel (see OverlapRanked). Same calling convention as
-    spmv_sharded: x (padded_m,) row-sharded P(axis), axis may be a
-    tuple for the multi-host hybrid mesh."""
+def _run_overlap(layout, x, mesh, axis, interpret, kernel_fn):
+    """Shared shard_map runner for the overlapped SpMV/SpMM: issue the
+    halo ppermutes first (nothing in the main kernel depends on them,
+    so the scheduler keeps them in flight), run the interior stack on
+    x_shard, then add the edge stack over the exchanged 2*halo rows."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     D = layout.n_devices
@@ -663,8 +667,6 @@ def spmv_overlap(
 
     def local(mv, ml, mb0, mdlo, mdhi, mchunk, mtile, mgrp,
               ev, el, eb0, edlo, edhi, echunk, etile, egrp, x_shard):
-        # Issue the exchanges FIRST; nothing below the main kernel call
-        # depends on them, so the scheduler can keep them in flight.
         from_left = jax.lax.ppermute(
             x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
         )
@@ -675,12 +677,12 @@ def spmv_overlap(
             mv[0], ml[0], mb0[0], mdlo[0], mdhi[0], mchunk[0], mtile[0],
             mgrp[0],
         )
-        y = spmv_ranked(main_local, x_shard, interpret=interpret)
+        y = kernel_fn(main_local, x_shard, interpret=interpret)
         edge_local = edge._local_layout_struct(
             ev[0], el[0], eb0[0], edlo[0], edhi[0], echunk[0], etile[0],
             egrp[0],
         )
-        y = y + spmv_ranked(
+        y = y + kernel_fn(
             edge_local,
             jnp.concatenate([from_left, from_right]),
             interpret=interpret,
@@ -701,7 +703,23 @@ def spmv_overlap(
         out_specs=P(axis),
         check_vma=False,
     )
-    return fn(*operands).reshape(-1)
+    return fn(*operands)
+
+
+def spmv_overlap(
+    layout: OverlapRanked,
+    x: jax.Array,
+    mesh: Mesh,
+    axis="rows",
+    interpret: bool | None = None,
+):
+    """y = A @ x with the halo exchange overlapped behind the main
+    kernel (see OverlapRanked). Same calling convention as
+    spmv_sharded: x (padded_m,) row-sharded P(axis), axis may be a
+    tuple for the multi-host hybrid mesh."""
+    return _run_overlap(
+        layout, x, mesh, axis, interpret, spmv_ranked
+    ).reshape(-1)
 
 
 def _exchange_x(layout, x_shard, axis):
@@ -865,55 +883,7 @@ def spmm_overlap(
     so the overlap window is even more favorable than SpMV's)."""
     from tpu_spmv.kernels.spmm import spmm_ranked
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    D = layout.n_devices
-    D_mesh = mesh_axis_size(mesh, axis)
-    if D_mesh != D:
-        raise ValueError(
-            f"layout was built for {D} shards but axis {axis!r} spans "
-            f"{D_mesh} devices"
-        )
-    H = layout.halo
     B = int(X.shape[-1])
-    main, edge = layout.main, layout.edge
-
-    def local(mv, ml, mb0, mdlo, mdhi, mchunk, mtile, mgrp,
-              ev, el, eb0, edlo, edhi, echunk, etile, egrp, x_shard):
-        from_left = jax.lax.ppermute(
-            x_shard[-H:], axis, [(i, i + 1) for i in range(D - 1)]
-        )
-        from_right = jax.lax.ppermute(
-            x_shard[:H], axis, [(i + 1, i) for i in range(D - 1)]
-        )
-        main_local = main._local_layout_struct(
-            mv[0], ml[0], mb0[0], mdlo[0], mdhi[0], mchunk[0], mtile[0],
-            mgrp[0],
-        )
-        y = spmm_ranked(main_local, x_shard, interpret=interpret)
-        edge_local = edge._local_layout_struct(
-            ev[0], el[0], eb0[0], edlo[0], edhi[0], echunk[0], etile[0],
-            egrp[0],
-        )
-        y = y + spmm_ranked(
-            edge_local,
-            jnp.concatenate([from_left, from_right]),
-            interpret=interpret,
-        )
-        return y[None]
-
-    operands = (
-        main.vals, main.lcols, main.sub_b0, main.sub_dlo, main.sub_dhi,
-        main.sub_chunk, main.tile_b0, main.grp_b0,
-        edge.vals, edge.lcols, edge.sub_b0, edge.sub_dlo, edge.sub_dhi,
-        edge.sub_chunk, edge.tile_b0, edge.grp_b0,
-        X,
-    )
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis),) * len(operands),
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    return fn(*operands).reshape(-1, B)
+    return _run_overlap(
+        layout, X, mesh, axis, interpret, spmm_ranked
+    ).reshape(-1, B)

@@ -141,6 +141,11 @@ def main(argv=None):
 
                 mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
             x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+            # The validation oracle depends only on (matrix, dtype, x):
+            # hoist it out of the kernel x srs grid (rounding re-copies
+            # the full value array; matvec is O(nnz)).
+            mat_v = mat if vdt is None else mat.rounded(vdt)
+            y_ref_full = mat_v.matvec(x)
             for kernel in args.kernels:
                 kname = kernel if vdt is None else f"{kernel}+bf16"
                 for srs in args.srs:
@@ -222,8 +227,7 @@ def main(argv=None):
                             fn = spmv_segsum
                             pad, nb = 1.0, 0
                         y = np.asarray(fn(lay, xj))
-                        mat_v = mat if vdt is None else mat.rounded(vdt)
-                        wrong, rel = validate(y, mat_v.matvec(x)[vperm])
+                        wrong, rel = validate(y, y_ref_full[vperm])
                         r = bench_spmv(fn, lay, xj)
                         row = {
                             "matrix": name, "kernel": kname, "k": args.k,
