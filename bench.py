@@ -79,11 +79,31 @@ def main():
     flag = bench_spmv(fn, layout, xj, **reps)
     kernel_name = plan.kernel
 
+    # Candidate deadline: each head-to-head candidate costs a remote
+    # Pallas compile (~30-40s when the relay is healthy, sometimes
+    # minutes). The flagship number above is already in hand — stop
+    # starting new candidates once the budget is spent so a slow relay
+    # degrades to fewer candidates instead of a timeout with NO output.
+    import time as _time
+
+    _deadline = _time.monotonic() + float(
+        os.environ.get("TPU_SPMV_BENCH_BUDGET_S", "1200")
+    )
+
+    def _time_left(name):
+        if _time.monotonic() < _deadline:
+            return True
+        print(f"# {name} candidate skipped: bench budget spent",
+              file=sys.stderr)
+        return False
+
     # Packed mixed-height candidate (VERDICT r2 next #3): same rank
     # windows, no 8-sublane slab quantum — on ~5 nnz/row matrices the
     # quantum IS the 1.60x padding. Measured head-to-head; any failure
     # (build, Mosaic compile, validation) keeps the proven kernel.
     try:
+        if not _time_left("packed"):
+            raise TimeoutError("bench budget")
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
@@ -111,7 +131,7 @@ def main():
     # values, which bf16 represents exactly); otherwise it is reported
     # as a separate datum so the flagship metric keeps f32 numerics.
     try:
-        if kernel_name in ("ranked", "packed"):
+        if kernel_name in ("ranked", "packed") and _time_left("bf16"):
             if kernel_name == "packed":
                 from tpu_spmv.formats.packed import PackedRanked
                 from tpu_spmv.kernels.packed import spmv_packed as _pf
@@ -145,7 +165,7 @@ def main():
     # the stencil and skips the reorder that would destroy it.
     try:
         plan_raw = tpu_plan(mat_raw, assume_rcm=False)
-        if plan_raw.kernel == "dia":
+        if plan_raw.kernel == "dia" and _time_left("dia"):
             from tpu_spmv.formats.dia import DiaSlabs
             from tpu_spmv.kernels.dia import spmv_dia
 
@@ -172,6 +192,8 @@ def main():
                 # DIA traffic is almost entirely values: bf16 nearly
                 # halves it. Promoted only when exact vs the f32 oracle
                 # (the Laplacian's +-1/4 are bf16-representable).
+                if not _time_left("dia+bf16"):
+                    raise TimeoutError("bench budget")
                 dlb = DiaSlabs.from_csr(mat_raw, val_dtype=jnp.bfloat16)
                 y_db = np.asarray(spmv_dia(dlb, xj_raw))
                 w_db, r_db = validate(y_db, mat_raw.matvec(x_raw))

@@ -65,6 +65,8 @@ probe
 { timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap2d_1024 20 \
     --kernel dia --rcm never ; \
   timeout 1800 python -m tpu_spmv.tools.spmv synthetic:lap3d_101 20 \
+    --kernel dia --rcm never ; \
+  timeout 1800 python -m tpu_spmv.tools.spmv synthetic:varstencil_1024 20 \
     --kernel dia --rcm never ; } \
   | tee results/dia_r3.txt
 

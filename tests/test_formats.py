@@ -193,3 +193,24 @@ def test_ranked_explicit_zero_entries():
     ref = mat.matvec(x)
     rel = np.linalg.norm(y - ref) / max(np.linalg.norm(ref), 1e-30)
     assert rel < 1e-6, rel
+
+
+def test_variable_stencil_structure():
+    """Varying-coefficient 5-point stencil (thermal2 class): symmetric,
+    SPD, exactly 5 diagonals in natural order, values NOT constant per
+    diagonal (distinguishes the DIA path's constant-friendly cases)."""
+    import numpy as np
+
+    from tpu_spmv.bench.matrices import variable_stencil
+    from tpu_spmv.formats.dia import diagonal_profile
+
+    mat = variable_stencil(48, seed=4)
+    d, fill = diagonal_profile(mat)
+    assert d == 5 and fill < 1.1
+    sp = mat.to_scipy()
+    assert (abs(sp - sp.T) > 0).nnz == 0  # symmetric
+    # off-diagonal values vary (not a constant stencil)
+    off = mat.data[mat.indices != np.repeat(
+        np.arange(mat.m), mat.row_lengths
+    )]
+    assert np.unique(off).size > 100

@@ -69,6 +69,43 @@ def laplacian_3d(nx: int, ny: int | None = None, nz: int | None = None) -> CSRMa
     )
 
 
+def variable_stencil(nx: int, ny: int | None = None, seed: int = 0) -> CSRMatrix:
+    """5-point grid pattern with VARYING coefficients (thermal2/ecology1
+    class: the real SuiteSparse stencils are not constant-valued).
+    Symmetric, diagonally dominant (SPD, CG-usable). Distinguishes the
+    DIA fast path's constant-friendly cases from the general one — and
+    bf16 value storage is no longer exact here (validated against the
+    rounded operator instead)."""
+    ny = ny or nx
+    rng = np.random.default_rng(seed)
+    idx = np.arange(nx * ny, dtype=np.int64).reshape(nx, ny)
+    rows, cols, vals = [], [], []
+
+    def add_sym(r, c):
+        v = (0.5 + rng.random(r.size)).astype(np.float32)  # in [0.5, 1.5)
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(v)
+        rows.append(c.ravel())
+        cols.append(r.ravel())
+        vals.append(v)
+
+    add_sym(idx[1:, :], idx[:-1, :])
+    add_sym(idx[:, 1:], idx[:, :-1])
+    n = nx * ny
+    all_rows = np.concatenate(rows)
+    all_cols = np.concatenate(cols)
+    all_vals = -np.concatenate(vals)
+    diag = np.ones(n, np.float64)
+    np.add.at(diag, all_rows, np.abs(all_vals.astype(np.float64)))
+    return CSRMatrix.from_coo(
+        np.concatenate([all_rows, np.arange(n, dtype=np.int64)]),
+        np.concatenate([all_cols, np.arange(n, dtype=np.int64)]),
+        np.concatenate([all_vals, diag.astype(np.float32)]),
+        (n, n),
+    )
+
+
 def random_banded(
     m: int, band: int, avg_nnz_per_row: float, seed: int = 0,
     diagonally_dominant: bool = True,
@@ -152,6 +189,7 @@ def suite_factories(scale: str = "small") -> dict:
         return {
             "lap2d_256": lambda: laplacian_2d(256),
             "lap3d_32": lambda: laplacian_3d(32),
+            "varstencil_128": lambda: variable_stencil(128, seed=4),
             "banded_100k": lambda: random_banded(100_000, 500, 16, seed=1),
             "general_50k": lambda: random_general(50_000, 8, seed=2),
             "powerlaw_100k": lambda: power_law(100_000, 8, seed=3),
@@ -162,6 +200,7 @@ def suite_factories(scale: str = "small") -> dict:
         return {
             "lap2d_1024": lambda: laplacian_2d(1024),    # 1.05M rows, 5.2M nnz
             "lap3d_101": lambda: laplacian_3d(101),      # 1.03M rows, 7.2M nnz
+            "varstencil_1024": lambda: variable_stencil(1024, seed=4),
             "banded_1m": lambda: random_banded(1_000_000, 1000, 16, seed=1),
             "general_500k": lambda: random_general(500_000, 10, seed=2),
             "powerlaw_1m": lambda: power_law(1_000_000, 8, seed=3),
