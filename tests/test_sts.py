@@ -178,3 +178,55 @@ def test_scattered_dependencies_use_binned_path_full():
     x = np.asarray(lower_solve(lay, interpret=True))
     x_ref = lower_solve_reference(sysm, b)
     assert int(np.sum(np.abs(x - x_ref) > 0.01)) == 0
+
+
+def test_upper_solve_scipy_parity():
+    """Backward substitution via row+column reversal: solving the
+    reversed system's LOWER triangle equals scipy's upper solve on the
+    original (arbitrary rhs, not just the x=ones protocol).
+
+    Triangle-exact semantics need a TRIANGULAR input + LS order +
+    sort_packs=False: build_sts splits AFTER permuting (the reference's
+    incomplete_choloskey-after-reorderA semantics, csrk.cpp:548-789),
+    so a pack-size sort can flip full-matrix entries across the
+    diagonal — the solved system is then tril(P A P^T) by design, not
+    P tril(A) P^T. Level order preserves dependency edges exactly."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve_triangular
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.sts.host import build_sts, reversed_for_upper
+    from tpu_spmv.sts.solve import LowerSolveLayout, lower_solve
+
+    full = random_banded(700, 40, 8, seed=11)
+    U = sp.triu(full.to_scipy(), format="csr")
+    mat = CSRMatrix.from_scipy(U)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(mat.m).astype(np.float32)
+
+    x_ref = spsolve_triangular(
+        U.astype(np.float64), b.astype(np.float64), lower=False
+    )
+
+    mat_r, rev = reversed_for_upper(mat)
+    sys_ = build_sts(mat_r, order_type="LS", sort_packs=False)
+    assert sys_.lower.nnz == mat.nnz  # no entries flipped
+    layout = LowerSolveLayout.build(sys_, b[rev][sys_.perm])
+    x_sys = np.asarray(lower_solve(layout, interpret=True))
+    x_r = np.zeros(mat.m, np.float32)
+    x_r[sys_.perm] = x_sys
+    x = x_r[rev]
+    rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-5, rel
+
+
+def test_upper_solve_cli(capsys):
+    from tpu_spmv.tools import sts as sts_cli
+
+    rc = sts_cli.main([
+        "synthetic:banded_1k", "--part", "upper", "--validate-only",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Number Wrong: 0" in out
+    assert "backward substitution" in out

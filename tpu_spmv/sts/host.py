@@ -78,6 +78,25 @@ def split_lu(mat: CSRMatrix) -> tuple[CSRMatrix, CSRMatrix]:
     return pick(lower), pick(upper)
 
 
+def reversed_for_upper(mat: CSRMatrix):
+    """Row+column reversal: the UPPER triangle of `mat` becomes the
+    LOWER triangle of the returned matrix, so the chunk-sequential
+    lower-solve machinery performs the backward (upper) substitution —
+    solve the reversed system, read the solution back through the same
+    reversal. Returns (reversed matrix, reversal permutation; an
+    involution). The reference ships only lowerSTS (csrk.cpp:79-145);
+    the upper solve is net-new.
+
+    Triangle-exact solves (match scipy's triu solve on the ORIGINAL
+    matrix, arbitrary rhs) need a triangular input + order LS +
+    sort_packs=False: build_sts splits after permuting (the reference's
+    semantics), so a pack-size sort may flip full-matrix entries across
+    the diagonal — see tests/test_sts.py::test_upper_solve_scipy_parity.
+    The CLI's x=ones protocol is self-consistent under any order."""
+    rev = np.arange(mat.m - 1, -1, -1, dtype=np.int64)
+    return mat.permuted(rev), rev
+
+
 def find_levels(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Dependency level of each row in the lower triangle.
 

@@ -24,6 +24,11 @@ def main(argv=None):
     ap.add_argument("input", help=".csr/.csr3/.mtx file, or synthetic:<name>")
     ap.add_argument("num_runs", nargs="?", type=int, default=20)
     ap.add_argument("--order", default="LS", choices=("LS", "COLOR"))
+    ap.add_argument("--part", default="lower", choices=("lower", "upper"),
+                    help="triangle to solve; 'upper' runs the backward "
+                    "substitution by reversing rows+columns (the upper "
+                    "triangle becomes the lower of the reversed system; "
+                    "net-new — the reference ships only lowerSTS)")
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--sizes", type=int, nargs="*", default=None)
     ap.add_argument("--tol", type=float, default=0.01)
@@ -45,6 +50,11 @@ def main(argv=None):
     from tpu_spmv.tools.spmv import load_input
 
     mat = load_input(args.input)
+    if args.part == "upper":
+        from tpu_spmv.sts.host import reversed_for_upper
+
+        mat, _rev = reversed_for_upper(mat)
+        print("upper solve: rows+columns reversed (backward substitution)")
     sizes = tuple(args.sizes) if args.sizes else tuple([32] * max(args.k - 2, 0))
     sys_ = build_sts(mat, order_type=args.order, k=args.k, sup_row_sizes=sizes)
     print(
