@@ -22,6 +22,7 @@
 // Build: make -C tpu_spmv/cpp  (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -529,6 +530,60 @@ int tpu_spmv_binned_slots(int64_t m, const int64_t* indptr,
   }
   for (int64_t c = 0; c < num_chunks; ++c)
     if (kc[c] < 1) kc[c] = 1;
+  return 0;
+}
+
+// Incomplete Cholesky IC(0): numeric factorization on the sparsity
+// pattern of a LOWER-triangular CSR (columns ascending, diagonal last
+// per row — the sts/host.split_lu invariant). data is overwritten in
+// place with the factor L. Nonpositive pivots are shifted to
+// max(|s|, 1e-8, 1e-8*|A[i,i]|) and counted in *breakdowns (the usual
+// IC(0) breakdown handling; an SPD, diagonally dominant input never
+// triggers it). Returns 0 on success, 1 when a row is missing its
+// diagonal. The reference's incomplete_choloskey (csrk.cpp:708-789)
+// splits structure only — this numeric factor is net-new (it powers
+// the IC(0)-preconditioned CG in sts/ic0.py).
+int tpu_spmv_ic0(int64_t m, const int64_t* indptr, const int32_t* indices,
+                 float* data, int64_t* breakdowns) {
+  int64_t bad = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t i0 = indptr[i], i1 = indptr[i + 1];
+    if (i1 <= i0 || indices[i1 - 1] != i) return 1;  // diagonal must be last
+    // Off-diagonal entries L[i,k], k ascending.
+    for (int64_t idx = i0; idx < i1 - 1; ++idx) {
+      const int64_t k = indices[idx];
+      double s = data[idx];
+      // s -= sum_{j < k} L[i,j] * L[k,j] over shared columns.
+      int64_t a = i0, b = indptr[k];
+      const int64_t aend = idx, bend = indptr[k + 1] - 1;  // cols < k
+      while (a < aend && b < bend) {
+        const int32_t ca = indices[a], cb = indices[b];
+        if (ca == cb) {
+          s -= static_cast<double>(data[a]) * data[b];
+          ++a;
+          ++b;
+        } else if (ca < cb) {
+          ++a;
+        } else {
+          ++b;
+        }
+      }
+      data[idx] = static_cast<float>(s / data[indptr[k + 1] - 1]);
+    }
+    // Pivot.
+    double s = data[i1 - 1];
+    for (int64_t idx = i0; idx < i1 - 1; ++idx)
+      s -= static_cast<double>(data[idx]) * data[idx];
+    if (!(s > 0.0)) {
+      double floor_ = 1e-8 * std::abs(static_cast<double>(data[i1 - 1]));
+      if (floor_ < 1e-8) floor_ = 1e-8;
+      double mag = std::abs(s);
+      s = mag > floor_ ? mag : floor_;
+      ++bad;
+    }
+    data[i1 - 1] = static_cast<float>(std::sqrt(s));
+  }
+  if (breakdowns) *breakdowns = bad;
   return 0;
 }
 

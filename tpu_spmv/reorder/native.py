@@ -71,6 +71,8 @@ def _load():
         lib.tpu_spmv_binned_slots.restype = ctypes.c_int
         lib.tpu_spmv_level_schedule.argtypes = [ctypes.c_int64, I64, I32, I64]
         lib.tpu_spmv_level_schedule.restype = ctypes.c_int
+        lib.tpu_spmv_ic0.argtypes = [ctypes.c_int64, I64, I32, F32, I64]
+        lib.tpu_spmv_ic0.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # toolchain missing, build failure, ...
         _load_error = str(e)
@@ -200,6 +202,30 @@ def level_schedule(indptr, indices) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"tpu_spmv_level_schedule failed with code {rc}")
     return level
+
+
+def ic0(indptr, indices, data) -> tuple[np.ndarray, int]:
+    """Incomplete Cholesky IC(0) in place on a lower-triangular CSR
+    (columns ascending, diagonal last). Returns (factor values,
+    breakdown count). See cpp/reorder.cc tpu_spmv_ic0."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_load_error}")
+    indptr = _i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    out = np.array(data, dtype=np.float32, copy=True)
+    n = indptr.shape[0] - 1
+    bad = np.zeros(1, dtype=np.int64)
+    rc = lib.tpu_spmv_ic0(
+        n,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(out, ctypes.c_float),
+        _ptr(bad, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"tpu_spmv_ic0 failed with code {rc}")
+    return out, int(bad[0])
 
 
 def sell_targets(indptr, koff, lanes: int):

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--pcg", action="store_true",
                     help="Jacobi (diagonal) preconditioning")
+    ap.add_argument("--precond", default=None, choices=("jacobi", "ic0"),
+                    help="preconditioner: jacobi (= --pcg) or ic0 "
+                    "(incomplete Cholesky, M^-1 applied by two "
+                    "chunk-sequential triangular solves per iteration; "
+                    "single-chip — needs --devices 1)")
     ap.add_argument("--devices", type=int, default=0,
                     help="shards; 0 = all available devices")
     ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
@@ -63,10 +68,45 @@ def main(argv=None):
             mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
             print("RCM applied")
 
+    if args.precond == "jacobi":
+        args.pcg = True
     avail = len(jax.devices())
     D = args.devices or avail
     if D > avail:
         raise SystemExit(f"requested {D} devices, only {avail} available")
+
+    if args.precond == "ic0":
+        if args.devices not in (1,):
+            raise SystemExit(
+                "--precond ic0 runs the single-chip jitted PCG loop; "
+                "pass --devices 1 (distributed triangular solves per "
+                "iteration are not wired yet)"
+            )
+        import time as _t
+
+        from tpu_spmv.formats.sell import RankedSlabs
+        from tpu_spmv.hw import interpret_mode as _im
+        from tpu_spmv.sts.ic0 import IC0Preconditioner, pcg_ic0_solve
+
+        interp = _im()
+        lay1 = RankedSlabs.from_csr(mat)
+        pre = IC0Preconditioner.build(mat)
+        print(f"ic0: rows={pre.lay_l.m} breakdowns={pre.breakdowns}")
+        b_host = np.ones(mat.m, np.float32)
+        t0 = _t.perf_counter()
+        sol, rz = pcg_ic0_solve(
+            lay1, jnp.asarray(b_host), pre, iters=args.iters,
+            interpret=interp,
+        )
+        sol = np.asarray(sol)
+        dt = _t.perf_counter() - t0
+        resid = float(
+            np.linalg.norm(mat.matvec(sol) - b_host) / np.sqrt(mat.m)
+        )
+        print(f"iters={args.iters} rms_residual={resid:.3e} "
+              f"device_rz={float(rz):.3e} wall={dt:.2f}s (incl. compile)")
+        return 0 if resid < args.tol else 1
+
     mesh = make_row_mesh(jax.devices()[:D])
     lay = None
     if args.overlap and D > 1:
