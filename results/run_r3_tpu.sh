@@ -82,6 +82,12 @@ timeout 3600 python results/scattered_16m_r3.py \
   | tee results/scattered_16m_r3.txt
 
 probe
+# 5c. IC(0)-PCG datum: the triangular-solve kernels in production —
+#     one SpMV + two chunk-sequential solves per jitted iteration.
+timeout 1800 python -m tpu_spmv.tools.solve synthetic:banded_1m \
+  --iters 40 --precond ic0 --devices 1 | tee results/ic0_r3.txt
+
+probe
 # 5b. Cost-model calibration datum (dry-run: record the on-chip fit
 #     without overlaying mid-batch; v5e should reproduce the defaults).
 timeout 1800 python -m tpu_spmv.tools.tune --calibrate --dry-run \
