@@ -100,3 +100,49 @@ def test_solve_cli_ic0(capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "breakdowns=0" in out
+
+
+def test_pcg_ic0_sharded_matches_single_chip():
+    """Distributed exact IC(0): two block back-substitution chains per
+    iteration; must converge like the single-chip PCG."""
+    import jax
+    import pytest
+
+    from tpu_spmv.dist.sharding import (
+        ShardedRanked, make_row_mesh, shard_vector,
+    )
+    from tpu_spmv.reorder.rcm import rcm
+    from tpu_spmv.sts.ic0 import ShardedIC0Preconditioner, pcg_ic0_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mat = random_banded(3000, 50, 8, seed=2)
+    mat = mat.permuted(rcm(mat.indptr, mat.indices))
+    D = 4
+    mesh = make_row_mesh(jax.devices()[:D])
+    lay = ShardedRanked.build(mat, D).device_put(mesh)
+    pre = ShardedIC0Preconditioner.build(mat, D, lay.padded_m)
+    assert pre.breakdowns == 0
+    b = np.ones(mat.m, np.float32)
+    bp = np.zeros(lay.padded_m, np.float32)
+    bp[: mat.m] = b
+    x, _ = pcg_ic0_sharded(lay, shard_vector(bp, mesh), pre, mesh, iters=25)
+    x = np.asarray(x)[: mat.m]
+    resid = np.linalg.norm(mat.matvec(x) - b) / np.sqrt(mat.m)
+    assert resid < 1e-5
+
+
+def test_solve_cli_ic0_distributed(capsys):
+    import jax
+    import pytest
+
+    from tpu_spmv.tools import solve
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rc = solve.main([
+        "synthetic:banded_1k", "--iters", "25", "--precond", "ic0",
+        "--devices", "4",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "distributed, D=4" in out

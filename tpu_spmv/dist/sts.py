@@ -85,6 +85,10 @@ class ShardedLowerSolve:
     osub_nb: jax.Array
     osub_chunk: jax.Array
     b_scale: jax.Array  # (D, num_chunks_local + 1, 128)
+    # inv_diag in the same padded blocks: lets sts_solve_sharded take a
+    # fresh rhs per call (the preconditioner path solves a new r every
+    # CG iteration) instead of the build-time baked b.
+    inv_diag: jax.Array  # (D, num_chunks_local + 1, 128)
     m: int
     padded_m: int
     rows_per_shard: int
@@ -97,7 +101,7 @@ class ShardedLowerSolve:
         children = (
             self.dvals, self.dcols, self.dsub_b0, self.dsub_nb,
             self.dsub_chunk, self.ovals, self.ocols, self.osub_b0,
-            self.osub_nb, self.osub_chunk, self.b_scale,
+            self.osub_nb, self.osub_chunk, self.b_scale, self.inv_diag,
         )
         aux = (
             self.m, self.padded_m, self.rows_per_shard,
@@ -208,6 +212,12 @@ class ShardedLowerSolve:
         b_blocks[:, :num_chunks_local] = b_pad.reshape(
             n_devices, num_chunks_local, LANES
         )
+        inv_pad = np.zeros(padded_m, np.float32)
+        inv_pad[pad_index] = inv_diag
+        inv_blocks = np.zeros_like(b_blocks)
+        inv_blocks[:, :num_chunks_local] = inv_pad.reshape(
+            n_devices, num_chunks_local, LANES
+        )
         jnp_ = jnp.asarray
         return cls(
             dvals=jnp_(dv), dcols=jnp_(dc), dsub_b0=jnp_(db0),
@@ -215,6 +225,7 @@ class ShardedLowerSolve:
             ovals=jnp_(ov), ocols=jnp_(oc), osub_b0=jnp_(ob0),
             osub_nb=jnp_(onb), osub_chunk=jnp_(och),
             b_scale=jnp_(b_blocks),
+            inv_diag=jnp_(inv_blocks),
             m=m, padded_m=padded_m, rows_per_shard=rows_per_shard,
             num_chunks_local=num_chunks_local, d_max_nb=d_max_nb,
             o_max_nb=o_max_nb, n_devices=n_devices,
@@ -226,9 +237,15 @@ def sts_solve_sharded(
     mesh: Mesh,
     axis="rows",
     interpret: bool | None = None,
+    b: jax.Array | None = None,
 ) -> jax.Array:
     """Solve L x = b over the mesh; returns x (padded_m,) sharded
-    P(axis). Host-side: x_rows = np.asarray(x)[pad_index]."""
+    P(axis). Host-side: x_rows = np.asarray(x)[pad_index].
+
+    b: optional fresh rhs (padded_m,), UNSCALED, in the padded system
+    coordinates (scatter through pad_index first) — overrides the
+    build-time baked b_scale; the preconditioner path solves a new
+    residual every CG iteration."""
     from tpu_spmv.kernels.pallas_sell import spmv_sell
 
     if interpret is None:
@@ -242,7 +259,8 @@ def sts_solve_sharded(
     names = (axis,) if isinstance(axis, str) else tuple(axis)
     nc = layout.num_chunks_local
 
-    def local(dv, dc, db0, dnb, dch, ov, oc, ob0, onb, och, bsc):
+    def local(dv, dc, db0, dnb, dch, ov, oc, ob0, onb, och, bsc, invd,
+              *maybe_b):
         diag = SellSlabs(
             vals=dv[0], cols=dc[0], sub_b0=db0[0], sub_nb=dnb[0],
             sub_chunk=dch[0], m=layout.rows_per_shard,
@@ -254,7 +272,13 @@ def sts_solve_sharded(
             sub_chunk=och[0], m=layout.rows_per_shard, n=layout.padded_m,
             nnz=0, num_chunks=nc, max_nb=layout.o_max_nb, chunk_q=0,
         )
-        b_sc = bsc[0]
+        if maybe_b:
+            b_sc = jnp.concatenate([
+                maybe_b[0].reshape(nc, LANES) * invd[0][:nc],
+                jnp.zeros((1, LANES), jnp.float32),
+            ])
+        else:
+            b_sc = bsc[0]
 
         idx = jnp.zeros((), jnp.int32)
         for name in names:
@@ -276,15 +300,17 @@ def sts_solve_sharded(
         )
         return x[None]
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis),) * 11,
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    return fn(
+    operands = (
         layout.dvals, layout.dcols, layout.dsub_b0, layout.dsub_nb,
         layout.dsub_chunk, layout.ovals, layout.ocols, layout.osub_b0,
         layout.osub_nb, layout.osub_chunk, layout.b_scale,
-    ).reshape(-1)
+        layout.inv_diag,
+    ) + ((b,) if b is not None else ())
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(operands),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(*operands).reshape(-1)

@@ -195,8 +195,142 @@ def pcg_ic0_solve(
     return run(layout, precond, b, iters, interpret)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedIC0Preconditioner:
+    """Distributed exact IC(0): M^-1 r by two block back-substitution
+    chains (dist/sts.py) per application. The chains are the inherent
+    cost of an exact distributed triangular solve (each shard waits on
+    its predecessors); the five index maps thread the A-space
+    row-sharded vectors through the two solve systems' pack paddings
+    and permutations exactly as in the single-chip IC0Preconditioner.
+    """
+
+    lay_l: object  # ShardedLowerSolve for L
+    lay_u: object  # ShardedLowerSolve for reversed L^T
+    bl_gather: jax.Array  # r[bl_gather] -> rows of L's rhs (m,)
+    bl_scatter: jax.Array  # ... scattered to b_L_pad positions (m,)
+    bu_gather: jax.Array  # x_L_pad[bu_gather] -> rows of U's rhs (m,)
+    bu_scatter: jax.Array  # ... scattered to b_U_pad positions (m,)
+    z_gather: jax.Array  # x_U_pad[z_gather] -> z rows (m,)
+    m: int
+    padded_m_a: int  # the SpMV layout's padded length (z re-padding)
+    breakdowns: int = 0
+
+    def tree_flatten(self):
+        return (
+            (self.lay_l, self.lay_u, self.bl_gather, self.bl_scatter,
+             self.bu_gather, self.bu_scatter, self.z_gather),
+            (self.m, self.padded_m_a, self.breakdowns),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def build(
+        cls, mat: CSRMatrix, n_devices: int, padded_m_a: int,
+    ) -> "ShardedIC0Preconditioner":
+        from tpu_spmv.dist.sts import ShardedLowerSolve
+
+        L, bad = ic0_factor(mat)
+        m = L.m
+        zeros = np.zeros(m, np.float32)
+
+        sys_l = build_sts(L, order_type="LS", sort_packs=False)
+        assert sys_l.lower.nnz == L.nnz
+        lay_l, pad_l = ShardedLowerSolve.build(sys_l, zeros, n_devices)
+        inv_l = np.argsort(sys_l.perm)
+
+        import scipy.sparse as sp
+
+        U = CSRMatrix.from_scipy(sp.csr_matrix(L.to_scipy().T))
+        mat_ru, rev = reversed_for_upper(U)
+        sys_u = build_sts(mat_ru, order_type="LS", sort_packs=False)
+        assert sys_u.lower.nnz == U.nnz
+        lay_u, pad_u = ShardedLowerSolve.build(sys_u, zeros, n_devices)
+        inv_u = np.argsort(sys_u.perm)
+
+        i32 = lambda a: jnp.asarray(a, jnp.int32)
+        return cls(
+            lay_l=lay_l,
+            lay_u=lay_u,
+            # b_L_pad[pad_l[t]] = r[perm_l[t]]
+            bl_gather=i32(sys_l.perm),
+            bl_scatter=i32(pad_l),
+            # b_U_pad[pad_u[t]] = y[rev[perm_u[t]]]
+            #                   = x_L_pad[pad_l[inv_l[rev[perm_u[t]]]]]
+            bu_gather=i32(pad_l[inv_l[rev[sys_u.perm]]]),
+            bu_scatter=i32(pad_u),
+            # z[j] = x_U_pad[pad_u[inv_u[rev[j]]]]
+            z_gather=i32(pad_u[inv_u[rev]]),
+            m=m,
+            padded_m_a=padded_m_a,
+            breakdowns=bad,
+        )
+
+    def apply(self, r: jax.Array, mesh, axis="rows",
+              interpret: bool | None = None) -> jax.Array:
+        """z = (L L^T)^-1 r. r: (padded_m_a,) row-sharded in A coords;
+        returns z with the same length (rows beyond m are zero)."""
+        from tpu_spmv.dist.sts import sts_solve_sharded
+
+        b_l = jnp.zeros(self.lay_l.padded_m, jnp.float32).at[
+            self.bl_scatter
+        ].set(r[self.bl_gather])
+        x_l = sts_solve_sharded(
+            self.lay_l, mesh, axis, interpret=interpret, b=b_l
+        )
+        b_u = jnp.zeros(self.lay_u.padded_m, jnp.float32).at[
+            self.bu_scatter
+        ].set(x_l[self.bu_gather])
+        x_u = sts_solve_sharded(
+            self.lay_u, mesh, axis, interpret=interpret, b=b_u
+        )
+        return jnp.zeros(self.padded_m_a, jnp.float32).at[
+            jnp.arange(self.m)
+        ].set(x_u[self.z_gather])
+
+
+def pcg_ic0_sharded(
+    layout, b: jax.Array, precond, mesh, axis="rows", iters: int = 50,
+    interpret: bool | None = None,
+):
+    """Distributed PCG with the exact IC(0) preconditioner: per jitted
+    iteration one sharded SpMV (halo exchange) and two block
+    back-substitution chains. Returns (x, final r.z)."""
+    from functools import partial
+
+    from tpu_spmv.dist.sharding import spmv_sharded
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(layout, precond, b, iters):
+        def step(i, state):
+            del i
+            x, r, p, rz = state
+            Ap = spmv_sharded(layout, p, mesh, axis, interpret=interpret)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond.apply(r, mesh, axis, interpret=interpret)
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, r, p, rz_new)
+
+        x0 = jnp.zeros_like(b)
+        z0 = precond.apply(b, mesh, axis, interpret=interpret)
+        state = (x0, b, z0, jnp.vdot(b, z0))
+        state = jax.lax.fori_loop(0, iters, step, state)
+        return state[0], state[3]
+
+    return run(layout, precond, b, iters)
+
+
 # Keep LANES imported for callers that size padded vectors (and to make
 # the dependency on the solve-layout geometry explicit).
 __all__ = [
-    "IC0Preconditioner", "ic0_factor", "pcg_ic0_solve", "LANES",
+    "IC0Preconditioner", "ShardedIC0Preconditioner", "ic0_factor",
+    "pcg_ic0_solve", "pcg_ic0_sharded", "LANES",
 ]

@@ -30,8 +30,9 @@ def main(argv=None):
     ap.add_argument("--precond", default=None, choices=("jacobi", "ic0"),
                     help="preconditioner: jacobi (= --pcg) or ic0 "
                     "(incomplete Cholesky, M^-1 applied by two "
-                    "chunk-sequential triangular solves per iteration; "
-                    "single-chip — needs --devices 1)")
+                    "triangular solves per iteration — chunk-sequential "
+                    "single-chip, or block back-substitution chains when "
+                    "--devices > 1)")
     ap.add_argument("--devices", type=int, default=0,
                     help="shards; 0 = all available devices")
     ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
@@ -76,29 +77,49 @@ def main(argv=None):
         raise SystemExit(f"requested {D} devices, only {avail} available")
 
     if args.precond == "ic0":
-        if args.devices not in (1,):
-            raise SystemExit(
-                "--precond ic0 runs the single-chip jitted PCG loop; "
-                "pass --devices 1 (distributed triangular solves per "
-                "iteration are not wired yet)"
-            )
         import time as _t
 
-        from tpu_spmv.formats.sell import RankedSlabs
         from tpu_spmv.hw import interpret_mode as _im
-        from tpu_spmv.sts.ic0 import IC0Preconditioner, pcg_ic0_solve
 
         interp = _im()
-        lay1 = RankedSlabs.from_csr(mat)
-        pre = IC0Preconditioner.build(mat)
-        print(f"ic0: rows={pre.lay_l.m} breakdowns={pre.breakdowns}")
         b_host = np.ones(mat.m, np.float32)
-        t0 = _t.perf_counter()
-        sol, rz = pcg_ic0_solve(
-            lay1, jnp.asarray(b_host), pre, iters=args.iters,
-            interpret=interp,
-        )
-        sol = np.asarray(sol)
+        if D == 1:
+            from tpu_spmv.formats.sell import RankedSlabs
+            from tpu_spmv.sts.ic0 import IC0Preconditioner, pcg_ic0_solve
+
+            lay1 = RankedSlabs.from_csr(mat)
+            pre = IC0Preconditioner.build(mat)
+            print(f"ic0: rows={pre.lay_l.m} breakdowns={pre.breakdowns}")
+            t0 = _t.perf_counter()
+            sol, rz = pcg_ic0_solve(
+                lay1, jnp.asarray(b_host), pre, iters=args.iters,
+                interpret=interp,
+            )
+            sol = np.asarray(sol)
+        else:
+            # Distributed: exact IC(0) via two block back-substitution
+            # chains per iteration (sts/ic0.ShardedIC0Preconditioner).
+            from tpu_spmv.dist.sharding import (
+                ShardedRanked as _SR, make_row_mesh as _mesh,
+                shard_vector as _shard,
+            )
+            from tpu_spmv.sts.ic0 import (
+                ShardedIC0Preconditioner, pcg_ic0_sharded,
+            )
+
+            mesh_d = _mesh(jax.devices()[:D])
+            lay_d = _SR.build(mat, D).device_put(mesh_d)
+            pre = ShardedIC0Preconditioner.build(mat, D, lay_d.padded_m)
+            print(f"ic0 (distributed, D={D}): rows={mat.m} "
+                  f"breakdowns={pre.breakdowns}")
+            bp = np.zeros(lay_d.padded_m, np.float32)
+            bp[: mat.m] = b_host
+            t0 = _t.perf_counter()
+            sol, rz = pcg_ic0_sharded(
+                lay_d, _shard(bp, mesh_d), pre, mesh_d, iters=args.iters,
+                interpret=interp,
+            )
+            sol = np.asarray(sol)[: mat.m]
         dt = _t.perf_counter() - t0
         resid = float(
             np.linalg.norm(mat.matvec(sol) - b_host) / np.sqrt(mat.m)
