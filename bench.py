@@ -191,22 +191,25 @@ def main():
                     kernel_name = "dia"
                 # DIA traffic is almost entirely values: bf16 nearly
                 # halves it. Promoted only when exact vs the f32 oracle
-                # (the Laplacian's +-1/4 are bf16-representable).
-                if not _time_left("dia+bf16"):
-                    raise TimeoutError("bench budget")
-                dlb = DiaSlabs.from_csr(mat_raw, val_dtype=jnp.bfloat16)
-                y_db = np.asarray(spmv_dia(dlb, xj_raw))
-                w_db, r_db = validate(y_db, mat_raw.matvec(x_raw))
-                db_res = bench_spmv(spmv_dia, dlb, xj_raw, **reps)
-                print(
-                    f"# dia+bf16 candidate: {db_res.gflops:.1f} GFLOP/s "
-                    f"wrong={w_db} relL2={r_db:.1e}",
-                    file=sys.stderr,
-                )
-                if (w_db == 0 and r_db < 1e-6
-                        and db_res.time_min < flag.time_min):
-                    flag, layout, wrong, rel = db_res, dlb, w_db, r_db
-                    kernel_name = "dia+bf16"
+                # (the Laplacian's +-1/4 are bf16-representable). A
+                # spent budget here skips ONLY this sub-candidate (the
+                # f32 dia above already ran and may have been promoted).
+                dlb = None
+                if _time_left("dia+bf16"):
+                    dlb = DiaSlabs.from_csr(mat_raw, val_dtype=jnp.bfloat16)
+                if dlb is not None:
+                    y_db = np.asarray(spmv_dia(dlb, xj_raw))
+                    w_db, r_db = validate(y_db, mat_raw.matvec(x_raw))
+                    db_res = bench_spmv(spmv_dia, dlb, xj_raw, **reps)
+                    print(
+                        f"# dia+bf16 candidate: {db_res.gflops:.1f} "
+                        f"GFLOP/s wrong={w_db} relL2={r_db:.1e}",
+                        file=sys.stderr,
+                    )
+                    if (w_db == 0 and r_db < 1e-6
+                            and db_res.time_min < flag.time_min):
+                        flag, layout, wrong, rel = db_res, dlb, w_db, r_db
+                        kernel_name = "dia+bf16"
     except Exception as e:  # pragma: no cover - chip-dependent
         print(f"# dia candidate unavailable: {e!r}", file=sys.stderr)
 

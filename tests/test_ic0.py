@@ -19,8 +19,14 @@ from tpu_spmv.sts.ic0 import (
 
 
 def test_ic0_native_numpy_parity_and_pattern():
+    import pytest
+
+    from tpu_spmv.reorder import native
+
+    if not native.available():
+        pytest.skip("native core unavailable; parity would be vacuous")
     mat = random_banded(800, 40, 8, seed=3)
-    L, bad = ic0_factor(mat)
+    L, bad = ic0_factor(mat)  # native path (available() checked above)
     assert bad == 0  # diagonally dominant SPD: no pivot shifts
     lower, _ = split_lu(mat)
     vals_np, bad_np = _ic0_numpy(lower.indptr, lower.indices, lower.data)

@@ -73,13 +73,39 @@ def ic0_factor(mat: CSRMatrix) -> tuple[CSRMatrix, int]:
     positive-definite matrix, on the lower pattern of `mat`. Returns
     (L, breakdown count — 0 for diagonally dominant SPD inputs)."""
     lower, _ = split_lu(mat)
-    try:
-        from tpu_spmv.reorder import native
+    from tpu_spmv.reorder import native
 
+    if native.available():
+        # A native failure here is a real error (malformed structure),
+        # not a cue to silently crawl through the pure-Python loop.
         vals, bad = native.ic0(lower.indptr, lower.indices, lower.data)
-    except RuntimeError:
+    else:
         vals, bad = _ic0_numpy(lower.indptr, lower.indices, lower.data)
     return CSRMatrix(lower.indptr, lower.indices, vals, lower.shape), bad
+
+
+def _build_ic0_systems(mat: CSRMatrix):
+    """Factor + the two solve systems both preconditioners share.
+
+    Returns (L, breakdowns, sys_l, inv_l, rev, sys_u, inv_u). Both
+    systems use LS order with sort_packs=False — the combination that
+    provably preserves a triangular input's structure (build_sts splits
+    AFTER permuting; see tests/test_sts.py::test_upper_solve_scipy_
+    parity) — and the composed index maps downstream depend on exactly
+    these invariants."""
+    import scipy.sparse as sp
+
+    L, bad = ic0_factor(mat)
+    sys_l = build_sts(L, order_type="LS", sort_packs=False)
+    assert sys_l.lower.nnz == L.nnz
+    inv_l = np.argsort(sys_l.perm)
+
+    U = CSRMatrix.from_scipy(sp.csr_matrix(L.to_scipy().T))
+    mat_ru, rev = reversed_for_upper(U)
+    sys_u = build_sts(mat_ru, order_type="LS", sort_packs=False)
+    assert sys_u.lower.nnz == U.nnz
+    inv_u = np.argsort(sys_u.perm)
+    return L, bad, sys_l, inv_l, rev, sys_u, inv_u
 
 
 def _scatter_b(layout: LowerSolveLayout, b: jax.Array) -> jax.Array:
@@ -120,23 +146,10 @@ class IC0Preconditioner:
 
     @classmethod
     def build(cls, mat: CSRMatrix) -> "IC0Preconditioner":
-        L, bad = ic0_factor(mat)
-        m = L.m
-        b_dummy = np.zeros(m, np.float32)
-
-        sys_l = build_sts(L, order_type="LS", sort_packs=False)
-        assert sys_l.lower.nnz == L.nnz  # LS preserves a triangular input
+        L, bad, sys_l, inv_l, rev, sys_u, inv_u = _build_ic0_systems(mat)
+        b_dummy = np.zeros(L.m, np.float32)
         lay_l = LowerSolveLayout.build(sys_l, b_dummy)
-        inv_l = np.argsort(sys_l.perm)
-
-        import scipy.sparse as sp
-
-        U = CSRMatrix.from_scipy(sp.csr_matrix(L.to_scipy().T))
-        mat_ru, rev = reversed_for_upper(U)
-        sys_u = build_sts(mat_ru, order_type="LS", sort_packs=False)
-        assert sys_u.lower.nnz == U.nnz
         lay_u = LowerSolveLayout.build(sys_u, b_dummy)
-        inv_u = np.argsort(sys_u.perm)
 
         return cls(
             lay_l=lay_l,
@@ -160,39 +173,42 @@ class IC0Preconditioner:
         return x_sys[self.idx2]
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("iters", "interpret"))
+def _pcg_ic0_run(layout, precond, b, iters, interpret):
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked
+
+    def step(i, state):
+        del i
+        x, r, p, rz = state
+        Ap = spmv_ranked(layout, p, interpret=interpret)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond.apply(r, interpret=interpret)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new)
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond.apply(b, interpret=interpret)
+    state = (x0, b, z0, jnp.vdot(b, z0))
+    state = jax.lax.fori_loop(0, iters, step, state)
+    return state[0], state[3]
+
+
 def pcg_ic0_solve(
     layout, b: jax.Array, precond: IC0Preconditioner, iters: int = 50,
     interpret: bool = False,
 ):
     """Single-chip PCG with the IC(0) preconditioner: one rank-windowed
     SpMV + two chunk-sequential triangular solves per iteration, the
-    whole loop jitted (no host round trips). Returns (x, final r.z)."""
-    from functools import partial
-
-    from tpu_spmv.kernels.pallas_sell import spmv_ranked
-
-    @partial(jax.jit, static_argnames=("iters", "interpret"))
-    def run(layout, precond, b, iters, interpret):
-        def step(i, state):
-            del i
-            x, r, p, rz = state
-            Ap = spmv_ranked(layout, p, interpret=interpret)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = precond.apply(r, interpret=interpret)
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = z + beta * p
-            return (x, r, p, rz_new)
-
-        x0 = jnp.zeros_like(b)
-        z0 = precond.apply(b, interpret=interpret)
-        state = (x0, b, z0, jnp.vdot(b, z0))
-        state = jax.lax.fori_loop(0, iters, step, state)
-        return state[0], state[3]
-
-    return run(layout, precond, b, iters, interpret)
+    whole loop jitted (compile cached at module level — repeated solves
+    with the same shapes reuse it). Returns (x, final r.z)."""
+    return _pcg_ic0_run(layout, precond, b, iters, interpret)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -234,23 +250,11 @@ class ShardedIC0Preconditioner:
     ) -> "ShardedIC0Preconditioner":
         from tpu_spmv.dist.sts import ShardedLowerSolve
 
-        L, bad = ic0_factor(mat)
+        L, bad, sys_l, inv_l, rev, sys_u, inv_u = _build_ic0_systems(mat)
         m = L.m
         zeros = np.zeros(m, np.float32)
-
-        sys_l = build_sts(L, order_type="LS", sort_packs=False)
-        assert sys_l.lower.nnz == L.nnz
         lay_l, pad_l = ShardedLowerSolve.build(sys_l, zeros, n_devices)
-        inv_l = np.argsort(sys_l.perm)
-
-        import scipy.sparse as sp
-
-        U = CSRMatrix.from_scipy(sp.csr_matrix(L.to_scipy().T))
-        mat_ru, rev = reversed_for_upper(U)
-        sys_u = build_sts(mat_ru, order_type="LS", sort_packs=False)
-        assert sys_u.lower.nnz == U.nnz
         lay_u, pad_u = ShardedLowerSolve.build(sys_u, zeros, n_devices)
-        inv_u = np.argsort(sys_u.perm)
 
         i32 = lambda a: jnp.asarray(a, jnp.int32)
         return cls(
@@ -293,39 +297,46 @@ class ShardedIC0Preconditioner:
         ].set(x_u[self.z_gather])
 
 
+@_partial(
+    jax.jit, static_argnames=("mesh", "axis", "iters", "interpret")
+)
+def _pcg_ic0_sharded_run(layout, precond, b, mesh, axis, iters, interpret):
+    from tpu_spmv.dist.sharding import spmv_sharded
+
+    def step(i, state):
+        del i
+        x, r, p, rz = state
+        Ap = spmv_sharded(layout, p, mesh, axis, interpret=interpret)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond.apply(r, mesh, axis, interpret=interpret)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new)
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond.apply(b, mesh, axis, interpret=interpret)
+    state = (x0, b, z0, jnp.vdot(b, z0))
+    state = jax.lax.fori_loop(0, iters, step, state)
+    return state[0], state[3]
+
+
 def pcg_ic0_sharded(
     layout, b: jax.Array, precond, mesh, axis="rows", iters: int = 50,
     interpret: bool | None = None,
 ):
     """Distributed PCG with the exact IC(0) preconditioner: per jitted
     iteration one sharded SpMV (halo exchange) and two block
-    back-substitution chains. Returns (x, final r.z)."""
-    from functools import partial
-
-    from tpu_spmv.dist.sharding import spmv_sharded
-
-    @partial(jax.jit, static_argnames=("iters",))
-    def run(layout, precond, b, iters):
-        def step(i, state):
-            del i
-            x, r, p, rz = state
-            Ap = spmv_sharded(layout, p, mesh, axis, interpret=interpret)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = precond.apply(r, mesh, axis, interpret=interpret)
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = z + beta * p
-            return (x, r, p, rz_new)
-
-        x0 = jnp.zeros_like(b)
-        z0 = precond.apply(b, mesh, axis, interpret=interpret)
-        state = (x0, b, z0, jnp.vdot(b, z0))
-        state = jax.lax.fori_loop(0, iters, step, state)
-        return state[0], state[3]
-
-    return run(layout, precond, b, iters)
+    back-substitution chains. Compile cached at module level (mesh and
+    axis ride as static jit args). Returns (x, final r.z)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    axis = axis if isinstance(axis, str) else tuple(axis)
+    return _pcg_ic0_sharded_run(
+        layout, precond, b, mesh, axis, iters, interpret
+    )
 
 
 # Keep LANES imported for callers that size padded vectors (and to make

@@ -122,12 +122,20 @@ def weak_scaling(
         t_comm = exchange_bytes / link_bs if d > 1 else 0.0
         # Overlap model (OverlapRanked): the exchange hides behind the
         # interior kernel; only the edge fraction of the compute waits.
-        olay = None
+        # Edge entries = cross-shard columns, counted directly (building
+        # the full OverlapRanked here would waste layout work on rows
+        # that never execute).
         t_plain = t_comp + t_comm
         t_over = t_plain
         if d > 1 and lay.halo:
-            olay = OverlapRanked.build(mat, d)
-            edge_frac = olay.edge.nnz / max(mat.nnz, 1)
+            rps = lay.rows_per_shard
+            row_of = np.repeat(
+                np.arange(mat.m, dtype=np.int64), mat.row_lengths
+            )
+            edge_nnz = int(
+                np.sum((mat.indices // rps) != (row_of // rps))
+            )
+            edge_frac = edge_nnz / max(mat.nnz, 1)
             t_over = (
                 max(t_comp * (1 - edge_frac), t_comm) + t_comp * edge_frac
             )
@@ -172,9 +180,10 @@ def weak_scaling(
             rel = float(
                 np.linalg.norm(y - y_ref) / max(np.linalg.norm(y_ref), 1e-30)
             )
-            if olay is not None:
+            if d > 1 and lay.halo:
                 # The overlapped schedule must agree too (the weak-
                 # scaling table is also its correctness record).
+                olay = OverlapRanked.build(mat, d)
                 op = olay.device_put(mesh, axis)
                 y_o = np.asarray(spmv_overlap(op, xj, mesh, axis=axis))[
                     : mat.m

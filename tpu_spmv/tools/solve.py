@@ -77,10 +77,11 @@ def main(argv=None):
         raise SystemExit(f"requested {D} devices, only {avail} available")
 
     if args.precond == "ic0":
-        import time as _t
-
         from tpu_spmv.hw import interpret_mode as _im
 
+        if args.overlap or args.pcg:
+            print("(--overlap/--pcg do not apply to --precond ic0; "
+                  "ignored)")
         interp = _im()
         b_host = np.ones(mat.m, np.float32)
         if D == 1:
@@ -90,7 +91,7 @@ def main(argv=None):
             lay1 = RankedSlabs.from_csr(mat)
             pre = IC0Preconditioner.build(mat)
             print(f"ic0: rows={pre.lay_l.m} breakdowns={pre.breakdowns}")
-            t0 = _t.perf_counter()
+            t0 = time.perf_counter()
             sol, rz = pcg_ic0_solve(
                 lay1, jnp.asarray(b_host), pre, iters=args.iters,
                 interpret=interp,
@@ -114,13 +115,13 @@ def main(argv=None):
                   f"breakdowns={pre.breakdowns}")
             bp = np.zeros(lay_d.padded_m, np.float32)
             bp[: mat.m] = b_host
-            t0 = _t.perf_counter()
+            t0 = time.perf_counter()
             sol, rz = pcg_ic0_sharded(
                 lay_d, _shard(bp, mesh_d), pre, mesh_d, iters=args.iters,
                 interpret=interp,
             )
             sol = np.asarray(sol)[: mat.m]
-        dt = _t.perf_counter() - t0
+        dt = time.perf_counter() - t0
         resid = float(
             np.linalg.norm(mat.matvec(sol) - b_host) / np.sqrt(mat.m)
         )
