@@ -230,3 +230,21 @@ def test_upper_solve_cli(capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "Number Wrong: 0" in out
     assert "backward substitution" in out
+
+
+def test_upper_solve_cli_distributed(capsys):
+    """--part upper composes with --devices: the reversal happens before
+    the system build, so the distributed block back-substitution solves
+    the reversed (lower) system unchanged."""
+    import jax
+    import pytest
+
+    from tpu_spmv.tools import sts as sts_cli
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rc = sts_cli.main([
+        "synthetic:banded_1k", "--part", "upper", "--devices", "4",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Number Wrong: 0" in out
