@@ -118,3 +118,20 @@ def test_packed_grouped_matches_delta():
     yd = np.asarray(spmv_packed(ld, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(yg, yd)
     assert _rel(yg, mat.matvec(x)) < 1e-6
+
+
+def test_packed_layout_cache_roundtrip(tmp_path):
+    """PackedRanked persists through the .npz layout cache (the
+    reference's precomputed-artifact role, like sell/ranked)."""
+    from tpu_spmv.formats.sell import load_layout
+
+    mat = random_banded(900, 40, 8, seed=2)
+    lay = PackedRanked.from_csr(mat)
+    path = str(tmp_path / "pk.npz")
+    lay.save(path, mat, config=(0, 0, 1))
+    back = load_layout(path, mat, config=(0, 0, 1))
+    assert type(back) is PackedRanked
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    ya = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    yb = np.asarray(spmv_packed(back, jnp.asarray(x), interpret=True))
+    assert np.array_equal(ya, yb)

@@ -107,6 +107,11 @@ class PackedRanked:
         return cls(*children[:7], *aux[:6], grp_b0=children[7],
                    group_code=aux[6])
 
+    def save(self, path, matrix=None, config: tuple = ()) -> None:
+        from tpu_spmv.formats.sell import _save_layout
+
+        _save_layout(self, path, matrix, config)
+
     @property
     def groups(self) -> tuple:
         """Static sublane->group map decoded from group_code."""

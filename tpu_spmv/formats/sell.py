@@ -498,7 +498,18 @@ def load_layout(path, matrix: CSRMatrix | None = None, config: tuple = ()):
                 a = a.view(np.dtype(jnp.bfloat16))
             children.append(jnp.asarray(a))
             i += 1
-    cls = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}[clsname]
+    classes = {"SellSlabs": SellSlabs, "RankedSlabs": RankedSlabs}
+    if clsname == "PackedRanked":
+        from tpu_spmv.formats.packed import PackedRanked
+
+        classes["PackedRanked"] = PackedRanked
+    try:
+        cls = classes[clsname]
+    except KeyError:
+        raise LayoutCacheMismatch(
+            f"layout cache {path} holds a {clsname}, which this loader "
+            "does not support; rebuild it"
+        )
     if clsname == "RankedSlabs" and len(children) < 8:
         raise LayoutCacheMismatch(
             f"layout cache {path} predates the grouped-window layout "

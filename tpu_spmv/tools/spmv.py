@@ -74,8 +74,8 @@ def main(argv=None):
     ap.add_argument("--layout-cache", default=None,
                     help="path to a .npz layout artifact: loaded when it "
                     "exists, written after build otherwise (the reference's "
-                    "precomputed-.csr3 role). sell/ranked kernels only; the "
-                    "matrix must still be supplied for validation.")
+                    "precomputed-.csr3 role). sell/ranked/packed kernels; "
+                    "the matrix must still be supplied for validation.")
     args = ap.parse_args(argv)
 
     from tpu_spmv.hw import interpret_mode
@@ -183,14 +183,14 @@ def main(argv=None):
             f"kernels, not {kernel!r}"
         )
 
-    def build_or_load(cls):
+    def build_or_load(cls, builder=None):
         cache = args.layout_cache
         # f32 keeps the historical 3-int config so existing caches stay
         # valid; bf16 layouts get a distinct fingerprint. The marker
         # tracks the layout actually built: a sell FALLBACK stores f32
         # (SellSlabs has no val_dtype), so its cache must carry the f32
         # fingerprint a later f32 run can load.
-        stores_bf16 = vdt is not None and cls is RankedSlabs
+        stores_bf16 = vdt is not None and cls is not SellSlabs
         cfg = (bin_blocks, sigma, k) + ((1,) if stores_bf16 else ())
         if cache and pathlib.Path(cache).exists():
             from tpu_spmv.formats.sell import load_layout
@@ -203,8 +203,11 @@ def main(argv=None):
                 )
             print(f"loaded layout from {cache}")
             return lay
-        kw = {"val_dtype": vdt} if cls is RankedSlabs else {}
-        lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks, **kw)
+        if builder is not None:
+            lay = builder()
+        else:
+            kw = {"val_dtype": vdt} if cls is RankedSlabs else {}
+            lay = cls.from_csr(ck.matrix, bin_blocks=bin_blocks, **kw)
         if cache:
             lay.save(cache, matrix=ck.matrix, config=cfg)
             print(f"saved layout to {cache}")
@@ -274,7 +277,10 @@ def main(argv=None):
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
-        layout = PackedRanked.from_csr(ck.matrix, val_dtype=vdt)
+        layout = build_or_load(
+            PackedRanked,
+            builder=lambda: PackedRanked.from_csr(ck.matrix, val_dtype=vdt),
+        )
         fn = functools.partial(spmv_packed, interpret=interp)
         print(f"packed mixed-height slabs: pad "
               f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}")
