@@ -14,6 +14,7 @@ from tpu_spmv.sts.host import (
     compute_b,
     find_levels,
     greedy_color,
+    reversed_for_upper,
     split_lu,
 )
 from tpu_spmv.sts.solve import lower_solve, lower_solve_reference
@@ -24,7 +25,25 @@ __all__ = [
     "compute_b",
     "find_levels",
     "greedy_color",
+    "reversed_for_upper",
     "split_lu",
     "lower_solve",
     "lower_solve_reference",
+    # lazy (pull in jit machinery only when used):
+    "IC0Preconditioner",
+    "ShardedIC0Preconditioner",
+    "ic0_factor",
+    "pcg_ic0_solve",
+    "pcg_ic0_sharded",
 ]
+
+
+def __getattr__(name):
+    if name in (
+        "IC0Preconditioner", "ShardedIC0Preconditioner", "ic0_factor",
+        "pcg_ic0_solve", "pcg_ic0_sharded",
+    ):
+        from tpu_spmv.sts import ic0
+
+        return getattr(ic0, name)
+    raise AttributeError(name)
