@@ -176,7 +176,8 @@ def main():
             ).astype(np.float32)
             xj_raw = jnp.asarray(x_raw)
             y_d = np.asarray(spmv_dia(dl, xj_raw))
-            w_d, r_d = validate(y_d, mat_raw.matvec(x_raw))
+            y_raw_oracle = mat_raw.matvec(x_raw)
+            w_d, r_d = validate(y_d, y_raw_oracle)
             if w_d == 0:
                 d_res = bench_spmv(spmv_dia, dl, xj_raw, **reps)
                 print(
@@ -199,7 +200,7 @@ def main():
                     dlb = DiaSlabs.from_csr(mat_raw, val_dtype=jnp.bfloat16)
                 if dlb is not None:
                     y_db = np.asarray(spmv_dia(dlb, xj_raw))
-                    w_db, r_db = validate(y_db, mat_raw.matvec(x_raw))
+                    w_db, r_db = validate(y_db, y_raw_oracle)
                     db_res = bench_spmv(spmv_dia, dlb, xj_raw, **reps)
                     print(
                         f"# dia+bf16 candidate: {db_res.gflops:.1f} "

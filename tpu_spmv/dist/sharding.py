@@ -393,11 +393,10 @@ class ShardedRanked:
         # the packed-delta encoding (shard-uniform by construction).
         # This recovers the 15-28% grouped-kernel win the r2 flagship
         # gave up (docs/PERF_NOTES.md grouped-window section).
-        vkw = {"val_dtype": val_dtype} if val_dtype is not None else {}
         shards = [
             RankedSlabs.from_csr(
                 blocks[0], bin_blocks=bin_blocks,
-                allow_groups=allow_groups, **vkw,
+                allow_groups=allow_groups, val_dtype=val_dtype,
             )
         ]
         plan = shards[0].group_members if shards[0].group_code else None
@@ -413,13 +412,14 @@ class ShardedRanked:
                     RankedSlabs.from_csr(
                         block, bin_blocks=bin_blocks,
                         allow_groups=False, group_plan=plan,
-                        group_plan_budget=budget, **vkw,
+                        group_plan_budget=budget, val_dtype=val_dtype,
                     )
                 )
         except ValueError:
             shards = [
                 RankedSlabs.from_csr(
-                    block, bin_blocks=bin_blocks, allow_groups=False, **vkw
+                    block, bin_blocks=bin_blocks, allow_groups=False,
+                    val_dtype=val_dtype,
                 )
                 for block in blocks
             ]

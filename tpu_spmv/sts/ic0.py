@@ -28,7 +28,7 @@ import numpy as np
 
 from tpu_spmv.formats.csr import CSRMatrix
 from tpu_spmv.sts.host import build_sts, reversed_for_upper, split_lu
-from tpu_spmv.sts.solve import LANES, LowerSolveLayout, lower_solve
+from tpu_spmv.sts.solve import LowerSolveLayout, lower_solve
 
 
 def _ic0_numpy(indptr, indices, data):
@@ -339,9 +339,7 @@ def pcg_ic0_sharded(
     )
 
 
-# Keep LANES imported for callers that size padded vectors (and to make
-# the dependency on the solve-layout geometry explicit).
 __all__ = [
     "IC0Preconditioner", "ShardedIC0Preconditioner", "ic0_factor",
-    "pcg_ic0_solve", "pcg_ic0_sharded", "LANES",
+    "pcg_ic0_solve", "pcg_ic0_sharded",
 ]

@@ -182,14 +182,13 @@ def main(argv=None):
                                     mat_l, plan = mat_s, plan_s
                                     vperm = ck.perm[sperm]
                             kern, bb = plan.kernel, plan.bin_blocks
-                        vkw = {"val_dtype": vdt}
                         if kern == "sell":
                             lay = SellSlabs.from_csr(mat_l, bin_blocks=bb)
                             fn = functools.partial(spmv_sell, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.max_nb
                         elif kern == "ranked":
                             lay = RankedSlabs.from_csr(
-                                mat_l, bin_blocks=bb, **vkw
+                                mat_l, bin_blocks=bb, val_dtype=vdt
                             )
                             fn = functools.partial(spmv_ranked, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
@@ -197,7 +196,7 @@ def main(argv=None):
                             from tpu_spmv.formats.dia import DiaSlabs
                             from tpu_spmv.kernels.dia import spmv_dia
 
-                            lay = DiaSlabs.from_csr(mat_l, **vkw)
+                            lay = DiaSlabs.from_csr(mat_l, val_dtype=vdt)
                             fn = functools.partial(spmv_dia, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.num_diagonals
                         elif kern == "striped":
@@ -207,7 +206,7 @@ def main(argv=None):
 
                             lay = StripedRanked.from_csr(
                                 mat_l, bin_blocks=bb if bb > 0 else 16,
-                                **vkw,
+                                val_dtype=vdt,
                             )
                             fn = functools.partial(spmv_striped, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
@@ -215,7 +214,7 @@ def main(argv=None):
                             from tpu_spmv.formats.packed import PackedRanked
                             from tpu_spmv.kernels.packed import spmv_packed
 
-                            lay = PackedRanked.from_csr(mat_l, **vkw)
+                            lay = PackedRanked.from_csr(mat_l, val_dtype=vdt)
                             fn = functools.partial(spmv_packed, interpret=interp)
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
