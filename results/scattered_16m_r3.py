@@ -89,6 +89,30 @@ def main():
     )
     assert wrong == 0
 
+    # bf16 value-storage datum on the same layout plan: at 160 nnz/row
+    # the binned fill is low, so value bytes dominate — the halved
+    # traffic should show here if the striped kernel is bandwidth-bound
+    # (validated against the bf16-rounded operator).
+    try:
+        lay_b = StripedRanked.from_csr(
+            mat, stripe_cols=stripe_cols, bin_blocks=best_w,
+            val_dtype=jnp.bfloat16,
+        )
+        y_b = np.asarray(spmv_striped(lay_b, jnp.asarray(x)))
+        wrong_b, rel_b = validate(
+            y_b, mat.rounded(jnp.bfloat16).matvec(x)
+        )
+        res_b = bench_spmv(
+            spmv_striped, lay_b, jnp.asarray(x), reps_lo=2, reps_hi=12
+        )
+        print(
+            f"bf16: wrong={wrong_b} rel_vs_rounded={rel_b:.1e} "
+            f"gflops={res_b.gflops:.2f} (vs {res.gflops:.2f} f32)"
+        )
+        assert wrong_b == 0
+    except Exception as e:  # pragma: no cover - chip-dependent
+        print(f"bf16 datum unavailable: {e!r}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
