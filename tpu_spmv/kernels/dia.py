@@ -40,9 +40,14 @@ def _split_offset(off: int) -> tuple[int, int]:
 def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
     """Kernel specialized on the static offset tuple (D unrolled)."""
     def roll_lanes(a, s):
+        # Left-rotate by s expressed as a right-rotate by LANES - s:
+        # pltpu.roll rejects negative shifts (Mosaic requirement), and
+        # both branches share the same constant so the interpret-mode
+        # tests cover the exact shift the chip runs.
+        shift = (LANES - s) % LANES
         if interpret:
-            return jnp.roll(a, -s, axis=1)
-        return pltpu.roll(a, -s, axis=1)
+            return jnp.roll(a, shift, axis=1)
+        return pltpu.roll(a, shift, axis=1)
 
     def kernel(vals_ref, x_ref, y_ref):
         t = pl.program_id(0)

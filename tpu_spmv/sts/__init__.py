@@ -30,6 +30,7 @@ __all__ = [
     "lower_solve",
     "lower_solve_reference",
     # lazy (pull in jit machinery only when used):
+    "BlockJacobiIC0Preconditioner",
     "IC0Preconditioner",
     "ShardedIC0Preconditioner",
     "ic0_factor",
@@ -40,7 +41,8 @@ __all__ = [
 
 def __getattr__(name):
     if name in (
-        "IC0Preconditioner", "ShardedIC0Preconditioner", "ic0_factor",
+        "BlockJacobiIC0Preconditioner", "IC0Preconditioner",
+        "ShardedIC0Preconditioner", "ic0_factor",
         "pcg_ic0_solve", "pcg_ic0_sharded",
     ):
         from tpu_spmv.sts import ic0

@@ -297,6 +297,226 @@ class ShardedIC0Preconditioner:
         ].set(x_u[self.z_gather])
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockJacobiIC0Preconditioner:
+    """Block-Jacobi IC(0): M = blockdiag(L_d L_d^T) with one IC(0)
+    factor per row shard — the classic zero-communication trade against
+    the exact ShardedIC0Preconditioner (whose two D-step back-
+    substitution chains serialize every application). Each shard factors
+    its diagonal block A_dd (a principal submatrix of an SPD matrix,
+    hence SPD) and applies (L_d L_d^T)^-1 to its local residual slice
+    with two chunk-sequential Pallas solves — all inside one shard_map
+    with NO collectives, so application cost is independent of D. The
+    preconditioner weakens as D grows (off-diagonal-block coupling is
+    dropped); the solver CLI exposes both so the trade is measurable.
+
+    Per-shard solve layouts are stacked on a leading mesh dim exactly
+    like dist/sts.ShardedLowerSolve; the three gather maps (g_l, g_u,
+    g_z) thread the local residual through each shard's own pack
+    paddings and system permutations, with out-of-range defaults
+    pointing at an appended zero slot.
+    """
+
+    # L-stage stacked strict-L slabs (dynamic-gather solve kernel).
+    lvals: jax.Array
+    lcols: jax.Array
+    lsub_b0: jax.Array
+    lsub_nb: jax.Array
+    lsub_chunk: jax.Array
+    # U-stage (reversed L^T) stacked slabs.
+    uvals: jax.Array
+    ucols: jax.Array
+    usub_b0: jax.Array
+    usub_nb: jax.Array
+    usub_chunk: jax.Array
+    g_l: jax.Array  # (D, (nc_l+1)*128) r_ext -> b_L positions
+    inv_l: jax.Array  # (D, (nc_l+1)*128) 1/diag(L_d) at pad positions
+    g_u: jax.Array  # (D, (nc_u+1)*128) x_L_ext -> b_U positions
+    inv_u: jax.Array  # (D, (nc_u+1)*128)
+    g_z: jax.Array  # (D, rows_per_shard) x_U_ext -> local z rows
+    m: int
+    padded_m_a: int
+    rows_per_shard: int
+    nc_l: int
+    nc_u: int
+    l_max_nb: int
+    u_max_nb: int
+    n_devices: int
+    breakdowns: int = 0
+
+    def tree_flatten(self):
+        children = (
+            self.lvals, self.lcols, self.lsub_b0, self.lsub_nb,
+            self.lsub_chunk, self.uvals, self.ucols, self.usub_b0,
+            self.usub_nb, self.usub_chunk, self.g_l, self.inv_l,
+            self.g_u, self.inv_u, self.g_z,
+        )
+        aux = (
+            self.m, self.padded_m_a, self.rows_per_shard, self.nc_l,
+            self.nc_u, self.l_max_nb, self.u_max_nb, self.n_devices,
+            self.breakdowns,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def device_put(self, mesh, axis="rows"):
+        from tpu_spmv.dist.sharding import shard_layout
+
+        return shard_layout(self, mesh, axis)
+
+    @classmethod
+    def build(
+        cls, mat: CSRMatrix, n_devices: int, padded_m_a: int,
+    ) -> "BlockJacobiIC0Preconditioner":
+        from tpu_spmv.formats.sell import LANES
+        from tpu_spmv.dist.sts import _stack_sell
+
+        m = mat.m
+        if padded_m_a % n_devices:
+            raise ValueError("padded_m_a must divide evenly into shards")
+        rows_per_shard = padded_m_a // n_devices
+        sp_mat = mat.to_scipy().tocsr()
+
+        per = []
+        bad_total = 0
+        for d in range(n_devices):
+            r0 = min(d * rows_per_shard, m)
+            r1 = min((d + 1) * rows_per_shard, m)
+            m_loc = r1 - r0
+            if m_loc == 0:
+                # All-padding shard: a 1x1 identity keeps the stacked
+                # program shape-valid; the maps below never reference it.
+                block = CSRMatrix(
+                    np.array([0, 1], np.int32), np.array([0], np.int32),
+                    np.array([1.0], np.float32), (1, 1),
+                )
+            else:
+                block = CSRMatrix.from_scipy(sp_mat[r0:r1, r0:r1].tocsr())
+            L, bad, sys_l, inv_lp, rev, sys_u, inv_up = _build_ic0_systems(
+                block
+            )
+            bad_total += bad
+            lay_l = LowerSolveLayout.build(
+                sys_l, np.zeros(L.m, np.float32), ranked=False
+            )
+            lay_u = LowerSolveLayout.build(
+                sys_u, np.zeros(L.m, np.float32), ranked=False
+            )
+            per.append(dict(
+                m_loc=m_loc,
+                slabs_l=lay_l.slabs, slabs_u=lay_u.slabs,
+                pad_l=np.asarray(lay_l.pad_index, np.int64),
+                pad_u=np.asarray(lay_u.pad_index, np.int64),
+                inv_l=np.asarray(lay_l.inv_diag).reshape(-1),
+                inv_u=np.asarray(lay_u.inv_diag).reshape(-1),
+                perm_l=np.asarray(sys_l.perm, np.int64),
+                perm_u=np.asarray(sys_u.perm, np.int64),
+                inv_lp=inv_lp, inv_up=inv_up, rev=rev,
+            ))
+
+        nc_l = max(p["slabs_l"].num_chunks for p in per)
+        nc_u = max(p["slabs_u"].num_chunks for p in per)
+        (lv, lc, lb0, lnb, lch), l_max_nb = _stack_sell(
+            [p["slabs_l"] for p in per], nc_l
+        )
+        (uv, uc, ub0, unb, uch), u_max_nb = _stack_sell(
+            [p["slabs_u"] for p in per], nc_u
+        )
+
+        size_l = (nc_l + 1) * LANES
+        size_u = (nc_u + 1) * LANES
+        D = n_devices
+        g_l = np.full((D, size_l), rows_per_shard, np.int32)
+        inv_l_st = np.zeros((D, size_l), np.float32)
+        g_u = np.full((D, size_u), size_l, np.int32)
+        inv_u_st = np.zeros((D, size_u), np.float32)
+        g_z = np.full((D, rows_per_shard), size_u, np.int32)
+        for d, p in enumerate(per):
+            inv_l_st[d, : p["inv_l"].size] = p["inv_l"]
+            inv_u_st[d, : p["inv_u"].size] = p["inv_u"]
+            if p["m_loc"] == 0:
+                continue
+            # b_L_pad[pad_l[t]] = r_local[perm_l[t]]
+            g_l[d, p["pad_l"]] = p["perm_l"]
+            # b_U_pad[pad_u[t]] = x_L_pad[pad_l[inv_l[rev[perm_u[t]]]]]
+            g_u[d, p["pad_u"]] = p["pad_l"][
+                p["inv_lp"][p["rev"][p["perm_u"]]]
+            ]
+            # z_local[j] = x_U_pad[pad_u[inv_u[rev[j]]]]
+            g_z[d, : p["m_loc"]] = p["pad_u"][p["inv_up"][p["rev"]]]
+
+        jnp_ = jnp.asarray
+        return cls(
+            lvals=jnp_(lv), lcols=jnp_(lc), lsub_b0=jnp_(lb0),
+            lsub_nb=jnp_(lnb), lsub_chunk=jnp_(lch),
+            uvals=jnp_(uv), ucols=jnp_(uc), usub_b0=jnp_(ub0),
+            usub_nb=jnp_(unb), usub_chunk=jnp_(uch),
+            g_l=jnp_(g_l), inv_l=jnp_(inv_l_st),
+            g_u=jnp_(g_u), inv_u=jnp_(inv_u_st), g_z=jnp_(g_z),
+            m=m, padded_m_a=padded_m_a, rows_per_shard=rows_per_shard,
+            nc_l=nc_l, nc_u=nc_u, l_max_nb=l_max_nb, u_max_nb=u_max_nb,
+            n_devices=n_devices, breakdowns=bad_total,
+        )
+
+    def apply(self, r: jax.Array, mesh, axis="rows",
+              interpret: bool | None = None) -> jax.Array:
+        """z = blockdiag(L_d L_d^T)^-1 r, zero communication. r:
+        (padded_m_a,) row-sharded in A coords; same-shape z returned."""
+        from jax.sharding import PartitionSpec as P
+        from tpu_spmv.formats.sell import LANES, SellSlabs
+        from tpu_spmv.sts.solve import lower_solve_blocks
+
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        nc_l, nc_u = self.nc_l, self.nc_u
+        rps = self.rows_per_shard
+
+        def local(lv, lc, lb0, lnb, lch, uv, uc, ub0, unb, uch,
+                  gl, il, gu, iu, gz, r_loc):
+            slabs_l = SellSlabs(
+                vals=lv[0], cols=lc[0], sub_b0=lb0[0], sub_nb=lnb[0],
+                sub_chunk=lch[0], m=nc_l * LANES, n=nc_l * LANES, nnz=0,
+                num_chunks=nc_l, max_nb=self.l_max_nb, chunk_q=0,
+            )
+            slabs_u = SellSlabs(
+                vals=uv[0], cols=uc[0], sub_b0=ub0[0], sub_nb=unb[0],
+                sub_chunk=uch[0], m=nc_u * LANES, n=nc_u * LANES, nnz=0,
+                num_chunks=nc_u, max_nb=self.u_max_nb, chunk_q=0,
+            )
+            zero1 = jnp.zeros((1,), jnp.float32)
+            r_ext = jnp.concatenate([r_loc, zero1])
+            b_l = (r_ext[gl[0]] * il[0]).reshape(nc_l + 1, LANES)
+            x_l = lower_solve_blocks(
+                slabs_l, b_l, interpret=interpret
+            ).reshape(-1)
+            x_l = jnp.concatenate([x_l, zero1])
+            b_u = (x_l[gu[0]] * iu[0]).reshape(nc_u + 1, LANES)
+            x_u = lower_solve_blocks(
+                slabs_u, b_u, interpret=interpret
+            ).reshape(-1)
+            x_u = jnp.concatenate([x_u, zero1])
+            return x_u[gz[0]][None]
+
+        operands = (
+            self.lvals, self.lcols, self.lsub_b0, self.lsub_nb,
+            self.lsub_chunk, self.uvals, self.ucols, self.usub_b0,
+            self.usub_nb, self.usub_chunk, self.g_l, self.inv_l,
+            self.g_u, self.inv_u, self.g_z, r,
+        )
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis),) * len(operands),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        return fn(*operands).reshape(-1)
+
+
 @_partial(
     jax.jit, static_argnames=("mesh", "axis", "iters", "interpret")
 )
@@ -340,6 +560,7 @@ def pcg_ic0_sharded(
 
 
 __all__ = [
-    "IC0Preconditioner", "ShardedIC0Preconditioner", "ic0_factor",
+    "BlockJacobiIC0Preconditioner", "IC0Preconditioner",
+    "ShardedIC0Preconditioner", "ic0_factor",
     "pcg_ic0_solve", "pcg_ic0_sharded",
 ]

@@ -70,9 +70,14 @@ class LowerSolveLayout:
         return cls(*children[:4], *aux, ranked=children[4])
 
     @classmethod
-    def build(cls, sys: TriangularSystem, b: np.ndarray) -> "LowerSolveLayout":
+    def build(
+        cls, sys: TriangularSystem, b: np.ndarray, ranked: bool = True,
+    ) -> "LowerSolveLayout":
         """Build from a host TriangularSystem and right-hand side b
-        (both in the system's permuted row order)."""
+        (both in the system's permuted row order). ranked=False skips
+        the rank-windowed fast-path search (callers that run the
+        dynamic-gather kernel unconditionally, e.g. the stacked
+        block-Jacobi shards, avoid the candidate builds)."""
         L = sys.lower
         m = L.m
         lens = L.row_lengths
@@ -124,14 +129,16 @@ class LowerSolveLayout:
         # cluster into a few x blocks even though the whole sub-tile's
         # window is wide. Only taken when the static gather loop stays
         # short.
+        want_ranked = ranked
         ranked = None
-        try:
-            cand = RankedSlabs.from_csr(strictL)
-            if cand.rank_nb <= RANKED_SOLVE_MAX_NB:
-                ranked = cand
-        except ValueError:
-            pass  # packed-delta range exceeded: scattered dependencies
-        if ranked is None and strictL.nnz:
+        if want_ranked:
+            try:
+                cand = RankedSlabs.from_csr(strictL)
+                if cand.rank_nb <= RANKED_SOLVE_MAX_NB:
+                    ranked = cand
+            except ValueError:
+                pass  # packed-delta range exceeded: scattered dependencies
+        if want_ranked and ranked is None and strictL.nnz:
             # Scattered dependencies (the level permutation sprays each
             # row's parents across all earlier packs): column-binned
             # slots bound the gather loop at the bin width for ANY

@@ -27,12 +27,15 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--pcg", action="store_true",
                     help="Jacobi (diagonal) preconditioning")
-    ap.add_argument("--precond", default=None, choices=("jacobi", "ic0"),
-                    help="preconditioner: jacobi (= --pcg) or ic0 "
+    ap.add_argument("--precond", default=None,
+                    choices=("jacobi", "ic0", "ic0-bj"),
+                    help="preconditioner: jacobi (= --pcg), ic0 "
                     "(incomplete Cholesky, M^-1 applied by two "
                     "triangular solves per iteration — chunk-sequential "
-                    "single-chip, or block back-substitution chains when "
-                    "--devices > 1)")
+                    "single-chip, or EXACT block back-substitution "
+                    "chains when --devices > 1), or ic0-bj "
+                    "(block-Jacobi IC(0): one factor per shard, zero "
+                    "communication per application, weaker as D grows)")
     ap.add_argument("--devices", type=int, default=0,
                     help="shards; 0 = all available devices")
     ap.add_argument("--rcm", default="auto", choices=("auto", "always", "never"))
@@ -76,7 +79,7 @@ def main(argv=None):
     if D > avail:
         raise SystemExit(f"requested {D} devices, only {avail} available")
 
-    if args.precond == "ic0":
+    if args.precond in ("ic0", "ic0-bj"):
         from tpu_spmv.hw import interpret_mode as _im
 
         if args.overlap or args.pcg:
@@ -84,6 +87,10 @@ def main(argv=None):
                   "ignored)")
         interp = _im()
         b_host = np.ones(mat.m, np.float32)
+        if args.precond == "ic0-bj" and D == 1:
+            # One shard: the block IS the whole matrix — identical to
+            # exact ic0; route there (simpler single-chip path).
+            args.precond = "ic0"
         if D == 1:
             from tpu_spmv.formats.sell import RankedSlabs
             from tpu_spmv.sts.ic0 import IC0Preconditioner, pcg_ic0_solve
@@ -110,8 +117,17 @@ def main(argv=None):
 
             mesh_d = _mesh(jax.devices()[:D])
             lay_d = _SR.build(mat, D).device_put(mesh_d)
-            pre = ShardedIC0Preconditioner.build(mat, D, lay_d.padded_m)
-            print(f"ic0 (distributed, D={D}): rows={mat.m} "
+            if args.precond == "ic0-bj":
+                from tpu_spmv.sts.ic0 import BlockJacobiIC0Preconditioner
+
+                pre = BlockJacobiIC0Preconditioner.build(
+                    mat, D, lay_d.padded_m
+                ).device_put(mesh_d)
+                kind = "ic0-bj (block-Jacobi"
+            else:
+                pre = ShardedIC0Preconditioner.build(mat, D, lay_d.padded_m)
+                kind = "ic0 (distributed"
+            print(f"{kind}, D={D}): rows={mat.m} "
                   f"breakdowns={pre.breakdowns}")
             bp = np.zeros(lay_d.padded_m, np.float32)
             bp[: mat.m] = b_host
