@@ -448,6 +448,12 @@ def group_windows(sub_base, hi_units, rank_nb0: int, group_plan=None,
                 glo = sub_base[:, r].copy()
                 ghi = hi_units[:, r].copy()
     G = len(members)
+    # Even G == SUBLANES (no merge) grouping is kept: measured on the
+    # general_500k W=16 layout, G=8 grouped-unrolled runs 1.78 GF/s vs
+    # 1.59 ungrouped (8 SMEM base reads beat the 16-op delta unpack).
+    # The r3 2.5x regression there was NOT the grouping but the grouped
+    # kernel's 2*npairs*G unroll charge tripping into lax.fori_loop —
+    # fixed by the G/8 load-count scaling in _make_grouped_kernel.
     gb = np.empty_like(sub_base)
     gmat = np.empty((G, S), np.int64)
     group_code = G << 32

@@ -41,9 +41,11 @@ def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
     """Kernel specialized on the static offset tuple (D unrolled)."""
     def roll_lanes(a, s):
         # Left-rotate by s expressed as a right-rotate by LANES - s:
-        # pltpu.roll rejects negative shifts (Mosaic requirement), and
-        # both branches share the same constant so the interpret-mode
-        # tests cover the exact shift the chip runs.
+        # pltpu.roll rejects negative shifts (Mosaic requirement). Both
+        # branches share the shift CONSTANT, so interpret-mode tests pin
+        # it — but they run jnp.roll, not the Mosaic lowering of
+        # pltpu.roll; direction parity of the two ops is verified
+        # separately (tests/test_dia.py).
         shift = (LANES - s) % LANES
         if interpret:
             return jnp.roll(a, shift, axis=1)

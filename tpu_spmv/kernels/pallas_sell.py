@@ -419,7 +419,14 @@ def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
                 vals * acc, axis=0, keepdims=True
             )
 
-        _sub_loop(subs_per_tile, 2 * npairs * G, body, force_loop=loop)
+        # Unroll accounting: the grouped body issues G (2,128) loads per
+        # pair-step where the ungrouped kernel (charged 2 per pair)
+        # issues 8 — scale by G/8 so grouped never charges MORE than the
+        # ungrouped kernel it replaces. 2*npairs*G overcharged wide-rank
+        # grouped layouts into lax.fori_loop (~50 cyc/iteration) that
+        # fully-unrolled r2 ran fine: the general_500k 2.5x regression.
+        _sub_loop(subs_per_tile, max((2 * npairs * G) // 8, 1), body,
+                  force_loop=loop)
 
     return kernel
 

@@ -467,13 +467,19 @@ class BlockJacobiIC0Preconditioner:
         """z = blockdiag(L_d L_d^T)^-1 r, zero communication. r:
         (padded_m_a,) row-sharded in A coords; same-shape z returned."""
         from jax.sharding import PartitionSpec as P
+        from tpu_spmv.dist.sharding import mesh_axis_size
         from tpu_spmv.formats.sell import LANES, SellSlabs
         from tpu_spmv.sts.solve import lower_solve_blocks
 
+        if mesh_axis_size(mesh, axis) != self.n_devices:
+            raise ValueError(
+                f"preconditioner built for {self.n_devices} devices, "
+                f"mesh axis {axis!r} spans "
+                f"{mesh_axis_size(mesh, axis)} devices"
+            )
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         nc_l, nc_u = self.nc_l, self.nc_u
-        rps = self.rows_per_shard
 
         def local(lv, lc, lb0, lnb, lch, uv, uc, ub0, unb, uch,
                   gl, il, gu, iu, gz, r_loc):

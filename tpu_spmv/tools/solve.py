@@ -90,6 +90,8 @@ def main(argv=None):
         if args.precond == "ic0-bj" and D == 1:
             # One shard: the block IS the whole matrix — identical to
             # exact ic0; route there (simpler single-chip path).
+            print("ic0-bj with --devices 1 == exact ic0; "
+                  "using single-chip ic0 path")
             args.precond = "ic0"
         if D == 1:
             from tpu_spmv.formats.sell import RankedSlabs
