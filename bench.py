@@ -59,10 +59,17 @@ def main():
     y_oracle = mat.matvec(x)
 
     plan = tpu_plan(mat, assume_rcm=True)
-    if plan.kernel == "ranked":
+    if plan.kernel in ("ranked", "packed"):
         try:
-            layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
-            fn = functools.partial(spmv_ranked, interpret=interp)
+            if plan.kernel == "packed":
+                from tpu_spmv.formats.packed import PackedRanked
+                from tpu_spmv.kernels.packed import spmv_packed as _spk
+
+                layout = PackedRanked.from_csr(mat)
+                fn = functools.partial(_spk, interpret=interp)
+            else:
+                layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
+                fn = functools.partial(spmv_ranked, interpret=interp)
         except ValueError:
             # Packed-delta span exceeded (the plan estimates rank on a
             # sampled sub-matrix, so a global outlier can slip past it,
@@ -102,6 +109,8 @@ def main():
     # quantum IS the 1.60x padding. Measured head-to-head; any failure
     # (build, Mosaic compile, validation) keeps the proven kernel.
     try:
+        if kernel_name == "packed":
+            raise RuntimeError("flagship already packed (planner choice)")
         if not _time_left("packed"):
             raise TimeoutError("bench budget")
         from tpu_spmv.formats.packed import PackedRanked

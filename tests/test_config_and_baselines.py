@@ -111,7 +111,9 @@ def test_tpu_plan_kernel_choice():
         rows, cols, np.ones(full.nnz, np.float32), full.shape
     )
     plan = tpu_plan(broken, assume_rcm=True)
-    assert plan.kernel == "ranked", (plan.kernel, plan.reason)
+    # Aligned-window family (the packed mixed-height candidate competes
+    # with quantized ranked slabs since r4 — either is the right class).
+    assert plan.kernel in ("ranked", "packed"), (plan.kernel, plan.reason)
     assert plan.bin_blocks == 0  # aligned windows, not binned
     # Random-within-band: no rank clustering -> binned windows beat the
     # wide plain-kernel span loop.

@@ -7,7 +7,9 @@ import pytest
 from tpu_spmv.bench.matrices import laplacian_2d, random_banded, random_general
 from tpu_spmv.formats.csr import CSRMatrix
 from tpu_spmv.formats.dia import DiaSlabs, diagonal_profile
-from tpu_spmv.kernels.dia import spmv_dia, spmv_dia_reference
+from tpu_spmv.kernels.dia import (
+    dia_x_fits, spmv_dia, spmv_dia_reference, spmv_dia_windowed,
+)
 
 
 def _rel(y, y_ref):
@@ -66,6 +68,32 @@ def test_dia_partial_diagonals():
     x = np.random.default_rng(2).standard_normal(mat.n).astype(np.float32)
     y = np.asarray(spmv_dia(lay, jnp.asarray(x), interpret=True))
     assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_dia_windowed_matches_resident():
+    """HBM-windowed DIA (ROUND3_SUMMARY known limit closed): same layout
+    and results as the resident kernel with x streamed per tile —
+    multiple grid tiles, unaligned AND aligned offsets."""
+    for grid in (40, 128):  # 40: all arms unaligned; 128: +-grid aligned
+        mat = laplacian_2d(grid)
+        lay = DiaSlabs.from_csr(mat, rows_per_tile=1024)
+        x = np.random.default_rng(4).standard_normal(mat.n).astype(
+            np.float32
+        )
+        y_res = np.asarray(spmv_dia(lay, jnp.asarray(x), interpret=True))
+        y_win = np.asarray(
+            spmv_dia_windowed(lay, jnp.asarray(x), interpret=True)
+        )
+        assert _rel(y_win, mat.matvec(x)) < 1e-6
+        np.testing.assert_array_equal(y_win, y_res)
+
+
+def test_dia_x_fits_budget():
+    mat = laplacian_2d(64)
+    lay = DiaSlabs.from_csr(mat, rows_per_tile=1024)
+    assert dia_x_fits(lay)  # 4k rows trivially resident
+    # A tiny budget forces the windowed route.
+    assert not dia_x_fits(lay, budget_frac=1e-6)
 
 
 def test_dia_rejects_non_stencil():

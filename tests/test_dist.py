@@ -247,6 +247,33 @@ def test_spmm_sharded_matches_oracle():
     assert np.linalg.norm(Y - Y_ref) / np.linalg.norm(Y_ref) < 1e-6
 
 
+def test_spmm_sharded_windowed_matches_resident():
+    """Distributed SpMM with the per-shard HBM-windowed kernel
+    (ROUND3_SUMMARY known limit closed): kernel='windowed' must agree
+    with the resident path and the oracle."""
+    from tpu_spmv.dist.sharding import ShardedRanked, spmm_sharded
+
+    mesh = _mesh_or_skip(4)
+    B = 3
+    mat = random_banded(3000, 60, 8, seed=2)
+    lay = ShardedRanked.build(mat, 4).device_put(mesh)
+    assert lay.win_w > 0
+    X = np.random.default_rng(5).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Xp = np.zeros((lay.padded_m, B), np.float32)
+    Xp[: mat.n] = X
+    Xj = jax.device_put(jnp.asarray(Xp), NamedSharding(mesh, P("rows")))
+    Y_res = np.asarray(spmm_sharded(lay, Xj, mesh, kernel="resident"))
+    Y_win = np.asarray(spmm_sharded(lay, Xj, mesh, kernel="windowed"))
+    Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    assert (
+        np.linalg.norm(Y_win[: mat.m] - Y_ref) / np.linalg.norm(Y_ref)
+        < 1e-6
+    )
+    np.testing.assert_array_equal(Y_win, Y_res)
+
+
 def test_spmm_sharded_hybrid_mesh():
     """SpMM over the multi-host (hosts, rows) hybrid mesh."""
     from tpu_spmv.dist.multihost import make_hybrid_mesh

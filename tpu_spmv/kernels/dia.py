@@ -62,10 +62,13 @@ def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
             if s == 0:
                 shifted = a
             else:
+                # One roll instead of two: selecting PRE-roll with the
+                # rotated mask (lane < s takes b) is algebraically the
+                # post-roll blend — roll(a,s)[l] for l < 128-s needs
+                # in[l+s] = a[l+s] (j = l+s in [s,128)), roll(b,s) for
+                # l >= 128-s needs b[j], j = l+s-128 in [0,s).
                 b = x_ref[pl.ds(base + 1, rb), :]
-                shifted = jnp.where(
-                    lane < LANES - s, roll_lanes(a, s), roll_lanes(b, s)
-                )
+                shifted = roll_lanes(jnp.where(lane < s, b, a), s)
             acc = acc + vals_ref[k].astype(jnp.float32) * shifted
         y_ref[...] = acc
 
@@ -117,6 +120,136 @@ def spmv_dia(layout: DiaSlabs, x: jax.Array, interpret: bool = False) -> jax.Arr
     )(layout.vals, x2d)
 
     return y.reshape(-1)[: layout.m]
+
+
+def _make_dia_windowed_kernel(offsets: tuple, rb: int, glo: int,
+                              win_w: int, num_tiles: int, interpret: bool):
+    """HBM-windowed DIA kernel: x stays in HBM; each grid step DMAs its
+    x window (win_w = glo + rb + ghi blocks — affine in t, no metadata)
+    into a double-buffered VMEM scratch while the previous step
+    computes. Removes the VMEM residency cap on n (the resident kernel
+    needs x fully in VMEM, ~4M columns — ROUND3_SUMMARY known limit)."""
+    def roll_lanes(a, s):
+        shift = (LANES - s) % LANES
+        if interpret:
+            return jnp.roll(a, shift, axis=1)
+        return pltpu.roll(a, shift, axis=1)
+
+    def kernel(vals_ref, x_hbm, y_ref, xwin, sems):
+        t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+
+        def win_dma(which_slot, which_tile):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(which_tile * rb, win_w), :],
+                xwin.at[which_slot],
+                sems.at[which_slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            win_dma(nslot, t + 1).start()
+
+        win_dma(slot, t).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+        acc = jnp.zeros((rb, LANES), jnp.float32)
+        for k, off in enumerate(offsets):
+            qb, s = _split_offset(off)
+            base = glo + qb  # window-local: the window starts at t*rb
+            a = xwin[slot, pl.ds(base, rb), :]
+            if s == 0:
+                shifted = a
+            else:
+                b = xwin[slot, pl.ds(base + 1, rb), :]
+                shifted = roll_lanes(jnp.where(lane < s, b, a), s)
+            acc = acc + vals_ref[k].astype(jnp.float32) * shifted
+        y_ref[...] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmv_dia_windowed(
+    layout: DiaSlabs, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x with x streamed from HBM in per-tile windows.
+
+    Same layout and results as spmv_dia; choose this when x does not fit
+    the VMEM residency budget — VMEM use is O(rows_per_tile + window),
+    not O(n)."""
+    d = layout.num_diagonals
+    rb = layout.rows_per_tile // LANES
+    nb = layout.num_blocks
+    num_tiles = nb // rb
+
+    qbs = [_split_offset(o)[0] for o in layout.offsets]
+    glo = max(0, -min(qbs))
+    ghi = max(max(qbs) + 2, 1)
+    win_w = glo + rb + ghi
+    # Padded x in HBM: window t covers blocks [t*rb, t*rb + win_w) of
+    # the padded array; real x starts at block glo.
+    n_blocks = glo + nb + ghi
+    x2d = jnp.zeros((n_blocks * LANES,), jnp.float32)
+    x2d = jax.lax.dynamic_update_slice(
+        x2d, x.astype(jnp.float32), (glo * LANES,)
+    ).reshape(n_blocks, LANES)
+
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (d, rb, LANES), lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x, HBM-resident
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_w, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    y = pl.pallas_call(
+        _make_dia_windowed_kernel(
+            layout.offsets, rb, glo, win_w, num_tiles, interpret
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layout.vals.size,
+            bytes_accessed=layout.hbm_bytes,
+            transcendentals=0,
+        ),
+    )(layout.vals, x2d)
+
+    return y.reshape(-1)[: layout.m]
+
+
+def dia_x_fits(layout: DiaSlabs, budget_frac: float = 0.5) -> bool:
+    """True when the resident kernel's VMEM working set (padded x + the
+    double-buffered diagonal tiles + y tile) fits budget_frac of VMEM."""
+    from tpu_spmv.kernels.pallas_sell import VMEM_BYTES
+
+    qbs = [_split_offset(o)[0] for o in layout.offsets]
+    glo = max(0, -min(qbs))
+    ghi = max(max(qbs) + 2, 1)
+    n_pad = (glo + layout.num_blocks + ghi) * LANES
+    rb = layout.rows_per_tile // LANES
+    tiles = 2 * layout.num_diagonals * rb * LANES * (
+        layout.vals.dtype.itemsize
+    )
+    y_tiles = 2 * rb * LANES * 4
+    return 4 * n_pad + tiles + y_tiles <= budget_frac * VMEM_BYTES()
 
 
 def spmv_dia_reference(layout: DiaSlabs, x) -> "np.ndarray":

@@ -290,6 +290,11 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int, loop: bool = False):
         ) * subs_per_tile
 
         def body(s):
+            # A paired (16,128) load + in-register split was tried for
+            # bf16 tile alignment and measured WORSE (ranked+bf16 128.9
+            # vs 140.8 GF/s sliced, f32 flat — docs/PERF_NOTES.md r4
+            # bf16 postmortem): the bf16->f32 de-interleave costs the
+            # same either way and the wider value hurt scheduling.
             lcols = lcols_ref[pl.ds(s * SUBLANES, SUBLANES), :].astype(
                 jnp.int32
             )

@@ -164,42 +164,38 @@ def _distributed(mat, args, B, vdt):
     D = args.devices or avail
     if D > avail:
         raise SystemExit(f"requested {D} devices, only {avail} available")
-    if args.kernel != "auto":
-        print(
-            f"(--kernel {args.kernel} applies to the single-chip mode; "
-            "distributed SpMM runs the resident per-shard kernel)"
-        )
     mesh = make_row_mesh(jax.devices()[:D])
+    # Per-shard staged X budget (rows_per_shard + 2*halo rows in halo
+    # mode, the full n under the all-gather fallback): beyond it the
+    # shards run the HBM-windowed SpMM kernel (spmm_sharded kernel=
+    # 'auto' resolves this; overlap stays resident-only, so fall back
+    # to the non-overlapped windowed path there).
+    from tpu_spmv.hw import device_spec
+
     lay = None
     if args.overlap and D > 1:
         try:
             lay = OverlapRanked.build(mat, D, val_dtype=vdt)
-            fn = functools.partial(spmm_overlap, mesh=mesh)
-            print(f"overlap split: edge nnz = {lay.edge.nnz}")
+            local_n = (
+                lay.rows_per_shard + 2 * lay.halo if lay.halo else mat.n
+            )
+            if 4 * local_n * B > device_spec().vmem_bytes // 2:
+                print(
+                    "staged X exceeds the VMEM budget; overlap is "
+                    "resident-only — using windowed spmm_sharded"
+                )
+                lay = None
+            else:
+                fn = functools.partial(spmm_overlap, mesh=mesh)
+                print(f"overlap split: edge nnz = {lay.edge.nnz}")
         except ValueError as e:
             print(f"overlap unavailable ({e}); using spmm_sharded")
     if lay is None:
         lay = ShardedRanked.build(mat, D, val_dtype=vdt)
-        fn = functools.partial(spmm_sharded, mesh=mesh)
-    # The per-shard kernel stages its x window (+B columns) in VMEM:
-    # halo mode stages rows_per_shard + 2*halo rows, the all-gather
-    # fallback the full n — fail with a clear message instead of an
-    # opaque Mosaic VMEM error.
-    from tpu_spmv.hw import device_spec
-
-    local_n = (
-        lay.rows_per_shard + 2 * lay.halo if lay.halo else mat.n
-    )
-    staged = 4 * local_n * B
-    budget = device_spec().vmem_bytes // 2
-    if staged > budget:
-        raise SystemExit(
-            f"per-shard staged X is {staged / 2**20:.0f} MiB "
-            f"(local_n={local_n}, B={B}) > VMEM budget "
-            f"{budget / 2**20:.0f} MiB; no distributed windowed SpMM "
-            "path yet — reduce --batch or use the single-chip windowed "
-            "kernel"
-        )
+        kern = args.kernel
+        fn = functools.partial(spmm_sharded, mesh=mesh, kernel=kern)
+        if kern != "auto":
+            print(f"per-shard kernel: {kern}")
     lay = lay.device_put(mesh)
     print(f"devices={D} halo={lay.halo} rows/shard={lay.padded_m // D}")
 

@@ -266,10 +266,17 @@ def main(argv=None):
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "dia":
         from tpu_spmv.formats.dia import DiaSlabs
-        from tpu_spmv.kernels.dia import spmv_dia
+        from tpu_spmv.kernels.dia import (
+            dia_x_fits, spmv_dia, spmv_dia_windowed,
+        )
 
         layout = DiaSlabs.from_csr(ck.matrix, val_dtype=vdt)
-        fn = functools.partial(spmv_dia, interpret=interp)
+        if dia_x_fits(layout):
+            fn = functools.partial(spmv_dia, interpret=interp)
+        else:
+            fn = functools.partial(spmv_dia_windowed, interpret=interp)
+            print("x exceeds VMEM residency; using the HBM-windowed "
+                  "DIA kernel")
         print(f"DIA: {layout.num_diagonals} diagonals, "
               f"fill {layout.padding_ratio:.2f}x")
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)

@@ -89,7 +89,7 @@ def reference_gpu_params(density: float, arch: str = "ampere") -> dict:
 
 @dataclasses.dataclass
 class TpuPlan:
-    kernel: str  # 'ranked' | 'sell' | 'segsum'
+    kernel: str  # 'ranked' | 'sell' | 'packed' | 'dia' | 'segsum'
     tile_k: int
     needs_rcm: bool
     est_max_nb: float  # per-chunk span estimate (plain-kernel loop count)
@@ -135,6 +135,12 @@ _STRIPE_WIDTHS = (16, 32, 64)
 # 8x128x4B of diagonal values (2/3 of a slab sub-tile's 6B/slot), so
 # one diagonal step is cheaper than one gather step but not free.
 _DIA_STEP_COST = 1.1
+# Packed mixed-height per-sub-tile surcharge over the ranked cost: the
+# 3-way static segmented reduce (two extra masked sums + the bmeta SMEM
+# word) and the gather epilogue. Derived from the r4 lap2d head-to-head
+# (ranked 4.34 units/sub-tile at 8192 sub-tiles, packed ~7.3 at 5378);
+# overridable by on-chip calibration like ranked_fixed/pair_cost.
+_PACKED_OVER = 3.0
 
 
 def exact_rank_nb(mat, align: bool = True, slots=None) -> tuple[int, int]:
@@ -283,6 +289,22 @@ def _ranked_subtile_cost(rank_nb: int) -> float:
     )
 
 
+def _packed_x_fits(mat, rank_nb: int) -> bool:
+    """Mirror of kernels.pallas_sell.resident_x_fits for the planner:
+    spmv_packed keeps x fully VMEM-resident (no windowed variant), so
+    the packed candidate is admitted only when padded x plus the
+    double-buffered slab tiles fit half of VMEM."""
+    import types
+
+    from tpu_spmv.kernels.pallas_sell import resident_x_fits
+
+    shim = types.SimpleNamespace(
+        rank_nb=max(rank_nb, 1), n=mat.n, max_nb=1, tile_k=2048,
+        vals=np.zeros(0, np.float32), lcols=np.zeros(0, np.int16),
+    )
+    return resident_x_fits(shim)
+
+
 def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
     """Choose kernel + layout parameters from matrix structure.
 
@@ -337,6 +359,23 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
             candidates.append((
                 s_ali * _ranked_subtile_cost(int(est_rank)), "ranked", 0,
                 f"aligned rank windows, span {est_rank:.0f} blocks",
+            ))
+
+        # Packed mixed-height candidate (VERDICT r3 next #4: the auto
+        # row must never lose to the manual packed row): same aligned
+        # slots WITHOUT the 8-sublane quantum — kc = max(true, 4), slabs
+        # stacked back-to-back — paying the segmented-reduce surcharge
+        # per sub-tile. Offered only when x fits the VMEM residency
+        # budget (spmv_packed has no HBM-windowed variant).
+        if est_rank <= 250 and _packed_x_fits(mat, int(est_rank)):
+            kc_pk = np.maximum(ali_slots[1], 4)  # formats.packed.MIN_KC
+            s_pk = (-(-int(kc_pk.sum()) // SUBLANES)) * scale
+            candidates.append((
+                s_pk * (_ranked_subtile_cost(int(est_rank))
+                        + _cal("packed_over", _PACKED_OVER)),
+                "packed", 0,
+                f"packed mixed-height slabs, span {est_rank:.0f} blocks "
+                f"(pad {s_pk * SUBLANES * LANES / max(mat.nnz, 1):.2f}x)",
             ))
 
         for w in _BIN_WIDTHS:
