@@ -14,10 +14,15 @@ kernel's per-lane gather into D static lane-rotations of a VMEM-resident
 x — no per-sub-tile metadata, no padding beyond the diagonal ends, no
 partials epilogue. y is written exactly once.
 
-Layout: vals[k, b, l] = A[row, row + off_k] for row = b*128 + l (zero
-where the diagonal exits the matrix or row >= m). The row dimension is
-blocked (lanes-major) to match the (8, 128) VREG tiling and the kernel's
-(rows_per_tile, 128) grid blocks.
+Layout: TILE-MAJOR — vals[t, k, r, l] = A[row, row + off_k] for
+row = (t*rb + r)*128 + l with rb = rows_per_tile // 128 (zero where the
+diagonal exits the matrix or row >= m). Grid step t's vals block is one
+CONTIGUOUS (d * rows_per_tile * 128)-element region, so the Pallas
+pipeline issues ONE linear DMA per step instead of d strided segments —
+measured 225 -> 88 ns fixed cost per grid step on v5e, and the large
+default rows_per_tile amortizes that fixed cost (8192 -> 32768 measured
+261 -> 738 GF/s on the lap2d_1024 bf16 flagship, results/
+dia_stream_r4.txt).
 """
 
 from __future__ import annotations
@@ -69,7 +74,7 @@ def diagonal_profile(mat: CSRMatrix, sample_rows: int = 0):
 class DiaSlabs:
     """D dense diagonals over 128-lane row blocks (see module doc)."""
 
-    vals: jax.Array  # (D, num_blocks, 128) float32
+    vals: jax.Array  # (T, D, rb, 128): tile-major, rb = rows_per_tile//128
     offsets: tuple  # D static diagonal offsets (col - row), ascending
     m: int
     n: int
@@ -91,7 +96,7 @@ class DiaSlabs:
 
     @property
     def num_blocks(self) -> int:
-        return int(self.vals.shape[1])
+        return int(self.vals.shape[0] * self.vals.shape[2])
 
     @property
     def padding_ratio(self) -> float:
@@ -111,7 +116,7 @@ class DiaSlabs:
         mat: CSRMatrix,
         max_diags: int = DIA_MAX_DIAGS,
         max_fill: float = DIA_MAX_FILL,
-        rows_per_tile: int = 8192,
+        rows_per_tile: int | None = None,
         val_dtype=None,
     ) -> "DiaSlabs":
         """Build the diagonal layout; raises ValueError when the matrix
@@ -138,16 +143,26 @@ class DiaSlabs:
             raise ValueError(
                 f"DIA fill {fill:.2f}x exceeds max_fill={max_fill}"
             )
-        rpt = max(rows_per_tile - rows_per_tile % (SUBLANES * LANES), 1024)
+        if rows_per_tile is None:
+            # r4 measured optimum (results/dia_tilemajor_r4.txt): bf16
+            # keeps gaining from bigger tiles (581 -> 661 GF/s at 64k);
+            # f32 peaks at 32k (410 vs 395).
+            rows_per_tile = 65536 if val_dtype == jnp.bfloat16 else 32768
+        # Cap the tile height near m: a 32k-row default tile on a small
+        # matrix would pad vals up to the tile quantum for nothing.
+        rpt = min(rows_per_tile, -(-m // 1024) * 1024)
+        rpt = max(rpt - rpt % (SUBLANES * LANES), 1024)
+        rb = rpt // LANES
         nb = max(-(-m // LANES), 1)
-        nb_pad = -(-nb // (rpt // LANES)) * (rpt // LANES)
+        nb_pad = -(-nb // rb) * rb
         vals = np.zeros((d, nb_pad * LANES), np.float32)
         vals[inverse, rows] = mat.data
+        # Tile-major (T, d, rb, 128): one contiguous DMA per grid step.
+        vals_tm = np.ascontiguousarray(
+            vals.reshape(d, nb_pad // rb, rb, LANES).transpose(1, 0, 2, 3)
+        )
         return cls(
-            vals=jnp.asarray(
-                vals.reshape(d, nb_pad, LANES),
-                dtype=val_dtype or jnp.float32,
-            ),
+            vals=jnp.asarray(vals_tm, dtype=val_dtype or jnp.float32),
             offsets=tuple(int(o) for o in offsets),
             m=m,
             n=mat.n,

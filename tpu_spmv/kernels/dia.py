@@ -69,7 +69,7 @@ def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
                 # l >= 128-s needs b[j], j = l+s-128 in [0,s).
                 b = x_ref[pl.ds(base + 1, rb), :]
                 shifted = roll_lanes(jnp.where(lane < s, b, a), s)
-            acc = acc + vals_ref[k].astype(jnp.float32) * shifted
+            acc = acc + vals_ref[0, k].astype(jnp.float32) * shifted
         y_ref[...] = acc
 
     return kernel
@@ -96,8 +96,10 @@ def spmv_dia(layout: DiaSlabs, x: jax.Array, interpret: bool = False) -> jax.Arr
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
+            # Tile-major vals: step t's (1, d, rb, 128) block is one
+            # contiguous region — a single linear DMA (see DiaSlabs).
             pl.BlockSpec(
-                (d, rb, LANES), lambda t: (0, t, 0),
+                (1, d, rb, LANES), lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x, fully resident
@@ -168,7 +170,7 @@ def _make_dia_windowed_kernel(offsets: tuple, rb: int, glo: int,
             else:
                 b = xwin[slot, pl.ds(base + 1, rb), :]
                 shifted = roll_lanes(jnp.where(lane < s, b, a), s)
-            acc = acc + vals_ref[k].astype(jnp.float32) * shifted
+            acc = acc + vals_ref[0, k].astype(jnp.float32) * shifted
         y_ref[...] = acc
 
     return kernel
@@ -204,7 +206,7 @@ def spmv_dia_windowed(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (d, rb, LANES), lambda t: (0, t, 0),
+                (1, d, rb, LANES), lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # x, HBM-resident
@@ -256,8 +258,11 @@ def spmv_dia_reference(layout: DiaSlabs, x) -> "np.ndarray":
     """NumPy oracle over the layout itself (tests)."""
     import numpy as np
 
-    vals = np.asarray(layout.vals, dtype=np.float32).reshape(
-        layout.num_diagonals, -1
+    # Tile-major (T, d, rb, 128) -> diagonal-major flat (d, rows).
+    vals = (
+        np.asarray(layout.vals, dtype=np.float32)
+        .transpose(1, 0, 2, 3)
+        .reshape(layout.num_diagonals, -1)
     )
     n_rows = vals.shape[1]
     xp = np.zeros(n_rows + 2 * n_rows, np.float32)  # generous guard
