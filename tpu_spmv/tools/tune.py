@@ -112,7 +112,45 @@ def measure(scale: float = 1.0, interp: bool = False) -> dict:
             file=sys.stderr,
         )
     fixed, pair = fit_affine(pts)
-    return {
+
+    # 3. Packed surcharge (tune.model _PACKED_OVER): a NARROW-band
+    # sample (rank_nb ~2, where the surcharge dominates the sub-tile
+    # cost; on wide-rank samples it drowns in pair steps) through
+    # PackedRanked vs quantized RankedSlabs — same aligned windows,
+    # same rank, so the per-sub-tile delta IS the segmented-reduce +
+    # epilogue premium the planner charges the packed candidate.
+    packed_over = None
+    try:
+        from tpu_spmv.formats.packed import PackedRanked
+        from tpu_spmv.kernels.packed import spmv_packed
+
+        mn = random_banded(int(262144 * scale), 96, 5, seed=4)
+        mn = mn.permuted(rcm_fn(mn.indptr, mn.indices))
+        xn = jnp.asarray(
+            np.random.default_rng(2).standard_normal(mn.n).astype(
+                np.float32
+            )
+        )
+        rl = RankedSlabs.from_csr(mn)
+        rr = bench_spmv(
+            functools.partial(spmv_ranked, interpret=interp), rl, xn, **reps
+        )
+        ru = rr.time_min / (int(rl.vals.shape[0]) // SUBLANES) / unit
+        pk = PackedRanked.from_csr(mn)
+        rp = bench_spmv(
+            functools.partial(spmv_packed, interpret=interp), pk, xn, **reps
+        )
+        pu = rp.time_min / (int(pk.vals.shape[0]) // SUBLANES) / unit
+        packed_over = max(pu - ru, 0.1)
+        print(
+            f"# packed: {pu:.2f} units/sub-tile vs ranked {ru:.2f} "
+            f"-> packed_over={packed_over:.2f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - chip-dependent
+        print(f"# packed_over: skipped ({e})", file=sys.stderr)
+
+    out = {
         "ranked_fixed": round(max(fixed, 0.1), 3),
         "pair_cost": round(max(pair, 0.05), 3),
         # Pair serves 2 gather iterations; express the per-iteration
@@ -120,6 +158,9 @@ def measure(scale: float = 1.0, interp: bool = False) -> dict:
         # cannot be cheaper than the plain block loop).
         "ranked_iter_cost": round(max(pair / 2 * 2.0, 1.0), 3),
     }
+    if packed_over is not None:
+        out["packed_over"] = round(packed_over, 3)
+    return out
 
 
 def main(argv=None):
