@@ -941,9 +941,71 @@ class RankedSlabs:
         for r in range(4):
             sub_dlo |= deltas[:, r] << (8 * r)
             sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
+        # Grid tile: pad total_k UP to the largest tile (within the
+        # caller's tile_k cap) whose fully-unrolled kernel stays inside
+        # _UNROLL_BUDGET — grid-step fixed-cost amortization (the r4
+        # DIA lesson: ~100-200 ns of DMA-issue cost per step; banded_1m
+        # W=4 ran 666 steps at the old 512 quantum). The pad rows are
+        # inert (val=0, lcols=0, chunk=dump) and cost < tile/total of
+        # extra slab traffic, gated to <= 6%.
+        from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
+
+        npairs_eff = max((rank_nb + 1) // 2, 1)
+        if group_code:
+            G_eff = group_code >> 32
+            inner = max((2 * npairs_eff * G_eff) // 8, 1)
+        else:
+            inner = 2 * npairs_eff
+        cap = tile_k
+        for cand in (8192, 4096, 2048, 1024):
+            if cand > cap:
+                continue
+            subs = cand // SUBLANES
+            pad = -total_k % cand
+            if subs * inner <= _UNROLL_BUDGET and pad <= 0.06 * total_k:
+                tile_eff = cand
+                break
+        else:
+            tile_eff = pick_tile_k(total_k, tile_k)
+        pad_k = -total_k % tile_eff
+        if pad_k:
+            pad_s = pad_k // SUBLANES
+            vals = np.concatenate(
+                [vals, np.zeros((pad_k, LANES), vals.dtype)]
+            )
+            lcols = np.concatenate(
+                [lcols, np.zeros((pad_k, LANES), lcols.dtype)]
+            )
+            # Pad bases replicate the LAST real sub-tile's window (zeros
+            # would stretch the final tile's HBM window to block 0).
+            sub_base = np.concatenate([
+                sub_base,
+                np.broadcast_to(sub_base[-1], (pad_s, SUBLANES)).copy(),
+            ])
+            sub_b0 = np.concatenate(
+                [sub_b0, np.full(pad_s, sub_b0[-1], sub_b0.dtype)]
+            )
+            sub_dlo = np.concatenate(
+                [sub_dlo, np.zeros(pad_s, sub_dlo.dtype)]
+            )
+            sub_dhi = np.concatenate(
+                [sub_dhi, np.zeros(pad_s, sub_dhi.dtype)]
+            )
+            host["sub_chunk"] = np.concatenate([
+                host["sub_chunk"],
+                np.full(pad_s, host["num_chunks"],
+                        host["sub_chunk"].dtype),
+            ])
+            if group_code:
+                G_eff = group_code >> 32
+                grp_b0 = np.concatenate(
+                    [grp_b0, np.zeros(pad_s * G_eff, grp_b0.dtype)]
+                )
+            S += pad_s
+            total_k += pad_k
+
         # Per-tile window metadata for the HBM-windowed kernel: tile t
         # gathers only from blocks [tile_b0[t], tile_b0[t] + win_w).
-        tile_eff = pick_tile_k(total_k, tile_k)
         subs_per_tile = tile_eff // SUBLANES
         T = S // subs_per_tile
         base_t = sub_base.reshape(T, subs_per_tile * SUBLANES)
