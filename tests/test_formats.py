@@ -214,3 +214,30 @@ def test_variable_stencil_structure():
         np.arange(mat.m), mat.row_lengths
     )]
     assert np.unique(off).size > 100
+
+
+def test_ranked_tile_padup_correctness():
+    """r4 grid-tile pad-up: a layout whose natural total_k is NOT a
+    multiple of the tile must pad up to tile_k=2048 (inert rows, window-
+    safe pad bases) and still reproduce the oracle through the kernel."""
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.matrices import random_banded
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked
+    from tpu_spmv.reorder import rcm
+
+    mat = random_banded(40_000, 400, 9, seed=7)
+    mat = mat.permuted(rcm(mat.indptr, mat.indices))
+    lay = RankedSlabs.from_csr(mat, bin_blocks=2)
+    assert lay.tile_k == 2048  # padded up from the 512 quantum
+    assert int(lay.vals.shape[0]) % 2048 == 0
+    x = np.random.default_rng(3).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_ranked(lay, jnp.asarray(x), interpret=True))
+    y_ref = mat.matvec(x)
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+    # The HBM-windowed kernel reads the padded tile metadata too.
+    from tpu_spmv.kernels.pallas_sell import spmv_ranked_windowed
+
+    y_w = np.asarray(spmv_ranked_windowed(lay, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y_w, y)
