@@ -135,3 +135,28 @@ def test_packed_layout_cache_roundtrip(tmp_path):
     ya = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
     yb = np.asarray(spmv_packed(back, jnp.asarray(x), interpret=True))
     assert np.array_equal(ya, yb)
+
+
+def test_packed_tile_padup_correctness():
+    """r4 grid-tile pad-up, packed variant: a layout whose natural
+    512-quantized total_k is NOT a multiple of the tile must pad up to
+    2048-sublane tiles (inert sub-tiles: vals=0, bmeta E=0) and still
+    reproduce the oracle through the kernel, including the cross-tile
+    carry landing before the pad region."""
+    mat = random_banded(80_000, 400, 9, seed=7)
+    from tpu_spmv.reorder import rcm
+
+    mat = mat.permuted(rcm(mat.indptr, mat.indices))
+    lay = PackedRanked.from_csr(mat)
+    assert lay.tile_k == 2048  # padded up from the 512 quantum
+    assert int(lay.vals.shape[0]) % 2048 == 0
+    # The pad is real: a 512-cap build (pick_tile_k path, no pad-up)
+    # ends at the natural 512-quantized total_k.
+    lay512 = PackedRanked.from_csr(mat, tile_k=512)
+    assert lay512.tile_k == 512
+    assert int(lay.vals.shape[0]) > int(lay512.vals.shape[0])
+    x = np.random.default_rng(3).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+    y512 = np.asarray(spmv_packed(lay512, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y, y512)
+    assert _rel(y, mat.matvec(x)) < 1e-6

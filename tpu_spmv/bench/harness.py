@@ -140,6 +140,95 @@ def bench_spmv(
     )
 
 
+def _loop_fn_cold(spmv, reps, K):
+    # Cold-regime variant: each fori iteration chains K SpMV calls over
+    # K DISTINCT operator copies (jit arguments, so XLA cannot alias
+    # them). Sized so K * layout bytes exceeds VMEM, the operator
+    # cannot stay VMEM-resident between consecutive uses — every call
+    # pays the full HBM fetch, which is the single-shot serving bound
+    # the resident chained protocol hides (docs/PERF_NOTES.md r4
+    # "measurement-regime" note).
+    @jax.jit
+    def run(layouts, x):
+        def body(i, xv):
+            for lay in layouts:
+                y = spmv(lay, xv)
+                xv = y * 0.125 + xv * 0.25
+            return xv
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    return run
+
+
+def clone_layout(layout):
+    """Fresh device copy of a layout pytree (distinct buffers: the
+    leaves round-trip through host memory, so XLA cannot alias two
+    clones)."""
+    leaves, treedef = jax.tree_util.tree_flatten(layout)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(np.asarray(leaf)) for leaf in leaves]
+    )
+
+
+def device_bytes(layout) -> int:
+    """Total device bytes of a layout pytree's array leaves."""
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(layout)
+        if hasattr(leaf, "dtype")
+    )
+
+
+def bench_spmv_cold(
+    spmv,
+    make_layout,
+    x: jax.Array,
+    nnz: int,
+    layout_bytes: int,
+    vmem_bytes: int = 128 * 2**20,
+    reps_lo: int = 2,
+    reps_hi: int = 16,
+    samples: int = 3,
+) -> BenchResult:
+    """Slope-timed COLD SpMV: the operator streams from HBM each call.
+
+    make_layout: zero-arg callable building a fresh device copy of the
+    layout (distinct buffers per copy — building from host arrays, not
+    device aliases). K copies are chained cyclically with K chosen so
+    the working set is >= 2x VMEM; the reported per-call time is the
+    K-round slope divided by K.
+    """
+    K = max(2, int(np.ceil(2 * vmem_bytes / max(layout_bytes, 1))))
+    layouts = tuple(make_layout() for _ in range(K))
+    lo = _loop_fn_cold(spmv, reps_lo, K)
+    hi = _loop_fn_cold(spmv, reps_hi, K)
+    np.asarray(lo(layouts, x))  # compile + warm
+    np.asarray(hi(layouts, x))
+    ts_lo = _times(lo, layouts, x, samples)
+    ts_hi = _times(hi, layouts, x, samples)
+    grow = 0
+    while (min(ts_hi) - min(ts_lo)) < 0.1 and grow < 4:
+        reps_hi = reps_lo + (reps_hi - reps_lo) * 4
+        hi = _loop_fn_cold(spmv, reps_hi, K)
+        np.asarray(hi(layouts, x))
+        ts_hi = _times(hi, layouts, x, samples)
+        grow += 1
+    dcalls = (reps_hi - reps_lo) * K
+    t_min = max((min(ts_hi) - min(ts_lo)) / dcalls, 1e-9)
+    slopes = [
+        max((th - tl) / dcalls, 1e-9) for th, tl in zip(ts_hi, ts_lo)
+    ]
+    t_avg = max(sum(slopes) / len(slopes), t_min)
+    return BenchResult(
+        time_min=t_min,
+        time_max=max(max(slopes), t_avg),
+        time_avg=t_avg,
+        nnz=nnz,
+        iters=(reps_lo, reps_hi, K),
+    )
+
+
 def roofline_nnzs(bytes_per_nnz: float, hbm_bytes_per_s: float | None = None) -> float:
     """Max nnz/s if the kernel were purely HBM-bandwidth-bound.
 

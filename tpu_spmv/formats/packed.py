@@ -51,7 +51,7 @@ from tpu_spmv.formats.sell import (
     _aligned_slots,
     _round_up,
     group_windows,
-    pick_tile_k,
+    pad_up_tile,
 )
 
 # Minimum slab height: bounds chunk ends per 8-slot sub-tile to two
@@ -153,15 +153,11 @@ class PackedRanked:
         kc = np.maximum(kc_raw, MIN_KC)
         koff = np.zeros(num_chunks + 1, dtype=np.int64)
         np.cumsum(kc, out=koff[1:])
-        # Large layouts round total_k up to the full tile so the grid
-        # keeps the measured-1.3x 2048-sublane tiles (the padding is at
-        # most one tile); small ones stay 512-quantized via pick_tile_k.
+        # 512-sublane quantum here; pad_up_tile below (once
+        # rank_nb/group_code are known) pads total_k UP to the largest
+        # unroll-safe grid tile — the same grid-step fixed-cost
+        # amortization as RankedSlabs.from_csr.
         total_k = _round_up(int(koff[-1]), 512)
-        if total_k >= 4 * tile_k:
-            tile_eff = tile_k
-            total_k = _round_up(total_k, tile_eff)
-        else:
-            tile_eff = pick_tile_k(total_k, tile_k)
 
         vals = np.zeros((total_k, LANES), dtype=np.float32)
         cols = np.full((total_k, LANES), -1, dtype=np.int64)
@@ -246,6 +242,41 @@ class PackedRanked:
         b2[:] = b1
         b2[s_of[rank_in == 1]] = bpos[rank_in == 1]
         bmeta = (b1 | (b2 << 4) | (E << 8)).astype(np.int32)
+
+        # Grid tile: pad total_k UP to the largest unroll-safe tile
+        # (pad_up_tile). Pad sub-tiles are inert: vals=0 (prod=0),
+        # lcols=0, bmeta=0 (E=0 -> nothing emitted; the carry only
+        # accumulates zeros past the last real chunk end, which lands
+        # at koff[-1] <= the unpadded total_k). Window bases replicate
+        # the last real sub-tile so gather loads stay in-bounds.
+        tile_eff = pad_up_tile(total_k, tile_k, rank_nb, group_code)
+        pad_k = -total_k % tile_eff
+        if pad_k:
+            pad_s = pad_k // SUBLANES
+            vals = np.concatenate(
+                [vals, np.zeros((pad_k, LANES), vals.dtype)]
+            )
+            lcols = np.concatenate(
+                [lcols, np.zeros((pad_k, LANES), lcols.dtype)]
+            )
+            sub_b0 = np.concatenate(
+                [sub_b0, np.full(pad_s, sub_b0[-1], sub_b0.dtype)]
+            )
+            sub_dlo = np.concatenate(
+                [sub_dlo, np.zeros(pad_s, sub_dlo.dtype)]
+            )
+            sub_dhi = np.concatenate(
+                [sub_dhi, np.zeros(pad_s, sub_dhi.dtype)]
+            )
+            bmeta = np.concatenate(
+                [bmeta, np.zeros(pad_s, bmeta.dtype)]
+            )
+            if group_code:
+                G_eff = group_code >> 32
+                grp_b0 = np.concatenate(
+                    [grp_b0, np.zeros(pad_s * G_eff, grp_b0.dtype)]
+                )
+            total_k += pad_k
 
         as32 = lambda a: jnp.asarray(
             a.view(np.int32) if a.dtype == np.uint32 else a,

@@ -222,6 +222,34 @@ def pick_tile_k(total_k: int, cap: int = 2048) -> int:
     return min(cap, total_k)
 
 
+def pad_up_tile(total_k: int, cap: int, rank_nb: int, group_code: int) -> int:
+    """Grid-tile size for a rank-windowed layout, padding total_k UP.
+
+    Picks the largest tile (within the caller's cap) whose
+    fully-unrolled kernel stays inside _UNROLL_BUDGET and whose pad
+    (-total_k % tile) costs <= 6% extra slab traffic — grid-step
+    fixed-cost amortization (the r4 DIA lesson: ~100-200 ns of
+    DMA-issue cost per step). Falls back to the largest divisor tile
+    (pick_tile_k) when no candidate qualifies. Shared by RankedSlabs
+    and PackedRanked; callers append -total_k % tile inert pad rows."""
+    from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
+
+    npairs_eff = max((rank_nb + 1) // 2, 1)
+    if group_code:
+        G_eff = group_code >> 32
+        inner = max((2 * npairs_eff * G_eff) // 8, 1)
+    else:
+        inner = 2 * npairs_eff
+    for cand in (8192, 4096, 2048, 1024):
+        if cand > cap:
+            continue
+        subs = cand // SUBLANES
+        pad = -total_k % cand
+        if subs * inner <= _UNROLL_BUDGET and pad <= 0.06 * total_k:
+            return cand
+    return pick_tile_k(total_k, cap)
+
+
 def _binned_slots(mat: CSRMatrix, bin_blocks: int):
     """Column-binned slot assignment: the scattered-matrix layout.
 
@@ -941,32 +969,11 @@ class RankedSlabs:
         for r in range(4):
             sub_dlo |= deltas[:, r] << (8 * r)
             sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
-        # Grid tile: pad total_k UP to the largest tile (within the
-        # caller's tile_k cap) whose fully-unrolled kernel stays inside
-        # _UNROLL_BUDGET — grid-step fixed-cost amortization (the r4
-        # DIA lesson: ~100-200 ns of DMA-issue cost per step; banded_1m
-        # W=4 ran 666 steps at the old 512 quantum). The pad rows are
-        # inert (val=0, lcols=0, chunk=dump) and cost < tile/total of
-        # extra slab traffic, gated to <= 6%.
-        from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
-
-        npairs_eff = max((rank_nb + 1) // 2, 1)
-        if group_code:
-            G_eff = group_code >> 32
-            inner = max((2 * npairs_eff * G_eff) // 8, 1)
-        else:
-            inner = 2 * npairs_eff
-        cap = tile_k
-        for cand in (8192, 4096, 2048, 1024):
-            if cand > cap:
-                continue
-            subs = cand // SUBLANES
-            pad = -total_k % cand
-            if subs * inner <= _UNROLL_BUDGET and pad <= 0.06 * total_k:
-                tile_eff = cand
-                break
-        else:
-            tile_eff = pick_tile_k(total_k, tile_k)
+        # Grid tile: pad total_k UP to the largest unroll-safe tile
+        # (pad_up_tile; banded_1m W=4 ran 666 grid steps at the old 512
+        # quantum). The pad rows are inert (val=0, lcols=0, chunk=dump)
+        # and cost < tile/total of extra slab traffic, gated to <= 6%.
+        tile_eff = pad_up_tile(total_k, tile_k, rank_nb, group_code)
         pad_k = -total_k % tile_eff
         if pad_k:
             pad_s = pad_k // SUBLANES

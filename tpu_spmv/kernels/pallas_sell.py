@@ -133,6 +133,13 @@ def _reduce_partials(partials, layout):
 # configuration (sell span <= 24 at 256 sub-tiles, ranked pairs <= 8)
 # on the proven fully-unrolled path.
 _UNROLL_BUDGET = 6144
+# Sub-tiles unrolled per fori iteration in _sub_loop's over-budget
+# blocked path. A/B on SpMM B=8 tile=2048 (over budget; bare fori
+# measured 81-90 GF/s): U=8 -> 190, U=32 -> 217 (~ the fully-unrolled
+# smaller-tile number), U=128 -> 34 (instruction-memory cliff — the
+# unroll budget alone is NOT a sufficient guard here). 32 sits at the
+# plateau with 4x margin to the cliff.
+_BLK_CAP = 32
 
 
 def _sub_loop(subs_per_tile: int, inner_steps: int, body,
@@ -153,10 +160,31 @@ def _sub_loop(subs_per_tile: int, inner_steps: int, body,
     if not force_loop and subs_per_tile * max(inner_steps, 1) <= _UNROLL_BUDGET:
         for s in range(subs_per_tile):
             body(s)
-    else:
+    elif force_loop:
         jax.lax.fori_loop(
             0, subs_per_tile, lambda s, c: (body(s), c)[1], 0
         )
+    else:
+        # Over budget on hardware: BLOCKED fori — unroll U sub-tiles
+        # per loop iteration (largest power of two within the budget
+        # that divides subs_per_tile). Mosaic's ~50-cycle per-iteration
+        # fori cost amortizes over U bodies; the bare fori cliff
+        # measured 3.5x on SpMM B=8 at 2048-sublane tiles (tile=2048
+        # fori 90 GF/s vs tile=1024 unrolled 306, scratch/spmm_tile_ab).
+        U = 1
+        while (
+            U * 2 <= min(subs_per_tile, _BLK_CAP)
+            and subs_per_tile % (U * 2) == 0
+            and U * 2 * max(inner_steps, 1) <= _UNROLL_BUDGET
+        ):
+            U *= 2
+
+        def blk(b, c):
+            for u in range(U):
+                body(b * U + u)
+            return c
+
+        jax.lax.fori_loop(0, subs_per_tile // U, blk, 0)
 
 
 def _make_kernel(tile_k: int, max_nb: int, tiles_per_block: int,

@@ -28,6 +28,11 @@ from tpu_spmv.formats.sell import LANES, SUBLANES, RankedSlabs
 from tpu_spmv.kernels.pallas_sell import _round_up
 
 
+# Gate for the B-aware grid-tile shrink in spmm_ranked (A/B scripts
+# disable it, with spmm_ranked.clear_cache(), to pin the tile).
+_B_AWARE_SHRINK = True
+
+
 def _make_spmm_kernel(tile_k: int, rank_nb: int, B: int, loop: bool = False):
     subs_per_tile = tile_k // SUBLANES
     npairs = max((rank_nb + 1) // 2, 1)
@@ -116,6 +121,24 @@ def spmm_ranked(
     n, B = X.shape
     total_k = int(layout.vals.shape[0])
     tile_k = layout.tile_k or min(512, total_k)
+    # B-aware grid tile: the layout's tile was sized for the SpMV
+    # kernel (inner = 2*npairs); SpMM's per-sub-tile step count scales
+    # with B, so the r4 padded-up 2048-sublane tiles at B=8 would
+    # spill _sub_loop into lax.fori_loop (~50 cyc/iteration — measured
+    # 169 vs 194 GF/s on the flagship). The resident kernel carries no
+    # per-tile metadata, so shrink to the largest divisor of total_k
+    # whose fully-unrolled kernel fits the budget.
+    from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
+
+    npairs = max((layout.rank_nb + 1) // 2, 1)
+    inner = 2 * npairs * B
+    while (
+        _B_AWARE_SHRINK
+        and tile_k > 512
+        and (tile_k // SUBLANES) * inner > _UNROLL_BUDGET
+        and total_k % (tile_k // 2) == 0
+    ):
+        tile_k //= 2
     num_tiles = total_k // tile_k
 
     reads_nb = 2 * max((layout.rank_nb + 1) // 2, 1)

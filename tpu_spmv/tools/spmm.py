@@ -104,6 +104,25 @@ def main(argv=None):
                 "X exceeds the VMEM budget but the layout has no "
                 "per-tile windows (scattered structure); no SpMM path"
             )
+    if kernel == "windowed":
+        # The windowed kernel is locked to the layout's grid tile
+        # (tile_b0 metadata); at the r4 padded-up 2048-sublane tiles a
+        # B-scaled step count can spill into lax.fori_loop. Rebuild at
+        # the largest unroll-safe tile cap for this B.
+        from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
+
+        npairs = max((layout.rank_nb + 1) // 2, 1)
+        inner = 2 * npairs * B
+        cap = layout.tile_k
+        while cap > 512 and (cap // 8) * inner > _UNROLL_BUDGET:
+            cap //= 2
+        if cap != layout.tile_k:
+            print(f"rebuilding layout at tile {cap} for B={B} "
+                  "(unroll budget)")
+            layout = RankedSlabs.from_csr(
+                mat, bin_blocks=plan.bin_blocks, val_dtype=vdt,
+                tile_k=cap,
+            )
     fn = functools.partial(
         spmm_ranked if kernel == "resident" else spmm_ranked_windowed,
         interpret=interp,

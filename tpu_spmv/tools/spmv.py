@@ -69,6 +69,14 @@ def main(argv=None):
                     "oracle (~2e-3 rel on random values; zero for "
                     "bf16-representable values, e.g. constant stencils) "
                     "reported for information")
+    ap.add_argument("--cold", action="store_true",
+                    help="time the operator-streaming regime: chain "
+                         "over enough distinct operator copies that "
+                         "the layout cannot stay VMEM-resident between "
+                         "calls (the single-shot serving bound; the "
+                         "default chained protocol measures the "
+                         "solver/serving regime where the loop-"
+                         "invariant operator stays on-chip)")
     ap.add_argument("--validate-only", action="store_true",
                     help="skip the timed benchmark (CI / CPU runs)")
     ap.add_argument("--layout-cache", default=None,
@@ -338,7 +346,20 @@ def main(argv=None):
         print(f"RelL2: {rel:.3g}")
         return 0 if wrong == 0 else 1
 
-    res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
+    if args.cold:
+        from tpu_spmv.bench.harness import (
+            bench_spmv_cold, clone_layout, device_bytes,
+        )
+
+        lbytes = device_bytes(layout)
+        res = bench_spmv_cold(
+            fn, lambda: clone_layout(layout), xj,
+            nnz=mat.nnz, layout_bytes=lbytes,
+        )
+        print(f"cold regime: operator streamed from HBM "
+              f"({lbytes / 2**20:.1f} MB/copy, K={res.iters[2]} copies)")
+    else:
+        res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
     print(res.summary(), end="")
     roof = roofline_nnzs(bytes_per_nnz)
     print(f"nnz/s: {res.gnnzs * 1e9:.4g} ({100 * res.gnnzs * 1e9 / roof:.0f}% of roofline)")

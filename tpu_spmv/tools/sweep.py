@@ -85,9 +85,15 @@ def main(argv=None):
     ap.add_argument("--matrices", nargs="*", default=None)
     ap.add_argument("--kernels", nargs="*", default=["sell", "segsum"])
     ap.add_argument("--k", type=int, default=2)
-    ap.add_argument("--rcm", action="store_true",
+    ap.add_argument("--rcm", nargs="?", const="always", default="never",
+                    choices=("always", "never", "auto"),
                     help="RCM-reorder each matrix before the CSR-k build "
-                    "(k=1 + --rcm is the flagship SpMV configuration)")
+                    "(k=1 + --rcm is the flagship SpMV configuration). "
+                    "'auto' lets the planner decide per matrix "
+                    "(tpu_plan().needs_rcm — stencil classes stay in "
+                    "natural order so the auto kernel can pick DIA, the "
+                    "same tri-state as tools/spmv.py); bare --rcm = "
+                    "always, matching the old boolean flag")
     ap.add_argument("--srs", nargs="*", type=int,
                     default=[8, 16, 24, 32, 48, 64, 96, 128],
                     help="super-row size grid (reference grid run_epyc.py:24)")
@@ -136,7 +142,14 @@ def main(argv=None):
             writer.writeheader()
         for name, loader in _resolve_matrices(entries, suite):
             mat = loader()
-            if args.rcm:
+            rcm_applied = args.rcm == "always"
+            if args.rcm == "auto" and mat.m == mat.n:
+                from tpu_spmv.tune.model import tpu_plan
+
+                rcm_applied = tpu_plan(mat).needs_rcm
+                if not rcm_applied:
+                    print(f"{name}: planner keeps natural order")
+            if rcm_applied:
                 from tpu_spmv.reorder import rcm as rcm_fn
 
                 mat = mat.permuted(rcm_fn(mat.indptr, mat.indices))
@@ -164,7 +177,7 @@ def main(argv=None):
                             from tpu_spmv.formats.sell import sigma_sort
                             from tpu_spmv.tune.model import tpu_plan
 
-                            plan = tpu_plan(ck.matrix, assume_rcm=args.rcm)
+                            plan = tpu_plan(ck.matrix, assume_rcm=rcm_applied)
                             if plan.sigma:
                                 # Planner-recommended SELL-C-sigma row
                                 # sort (rows only — x is unaffected,
@@ -177,7 +190,7 @@ def main(argv=None):
                                 mat_s, sperm = sigma_sort(
                                     ck.matrix, plan.sigma
                                 )
-                                plan_s = tpu_plan(mat_s, assume_rcm=args.rcm)
+                                plan_s = tpu_plan(mat_s, assume_rcm=rcm_applied)
                                 if plan_s.est_cost < plan.est_cost:
                                     mat_l, plan = mat_s, plan_s
                                     vperm = ck.perm[sperm]
