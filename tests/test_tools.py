@@ -311,3 +311,20 @@ def test_spmm_cli_distributed(capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "bf16-rounded operator" in out
+
+
+def test_sweep_rcm_tristate(tmp_path, capsys):
+    """--rcm auto defers the reorder decision to the planner: a stencil
+    matrix stays in natural order (so the auto kernel can dispatch the
+    index-free DIA layout), while bare --rcm still means always."""
+    from tpu_spmv.tools import sweep
+
+    out = tmp_path / "s.csv"
+    rc = sweep.main([
+        "--out", str(out), "--matrices", "lap2d_32", "--scale", "tiny",
+        "--kernels", "auto", "--k", "1", "--srs", "8", "--rcm", "auto",
+    ])
+    assert rc == 0
+    assert "planner keeps natural order" in capsys.readouterr().out
+    rows = list(csv.DictReader(open(out)))
+    assert rows and int(rows[0]["num_wrong"]) == 0

@@ -49,13 +49,23 @@ class BenchResult:
         )
 
 
-def _loop_fn(spmv, reps):
+def _loop_fn(spmv):
     # The layout is a jit ARGUMENT (it is a registered pytree), not a
     # closure constant: closing over it bakes the slab arrays into the
     # HLO as literals, which the remote-compile relay rejects for large
     # matrices (HTTP 413) and which skews constant folding.
+    #
+    # reps is a TRACED argument (dynamic fori trip count), so every
+    # reps value runs the SAME compiled executable. With one executable
+    # per reps value (the r1-r4 protocol), a single unlucky Mosaic/XLA
+    # compile poisoned the whole slope with low intra-call spread —
+    # the signature of the two cross-round contradictions (r3 lap2d
+    # packed 27 vs 124 GF/s, r4 lap2d auto 8.9 vs 148.5: same layout,
+    # same kernel, consistently slow for exactly one bench call). A
+    # shared executable makes the lo/hi per-iteration cost identical
+    # by construction, and the adaptive reps ladder stops recompiling.
     @jax.jit
-    def run(layout, x):
+    def run(layout, x, reps):
         def body(i, xv):
             y = spmv(layout, xv)
             if y.shape == xv.shape:
@@ -72,11 +82,12 @@ def _loop_fn(spmv, reps):
     return run
 
 
-def _times(fn, layout, x, samples: int) -> list:
+def _times(fn, layout, x, reps: int, samples: int) -> list:
+    r = jnp.asarray(reps, dtype=jnp.int32)
     out = []
     for _ in range(samples):
         t0 = time.perf_counter()
-        np.asarray(fn(layout, x))
+        np.asarray(fn(layout, x, r))
         out.append(time.perf_counter() - t0)
     return out
 
@@ -101,22 +112,16 @@ def bench_spmv(
     until the work difference dominates the jitter (>= 4 quanta): below
     that, quantization alone produces 10-30% slope error.
     """
-    lo = _loop_fn(spmv, reps_lo)
-    hi = _loop_fn(spmv, reps_hi)
-    np.asarray(lo(layout, x))  # compile + warm both
-    np.asarray(hi(layout, x))
-    ts_lo = _times(lo, layout, x, samples)
-    ts_hi = _times(hi, layout, x, samples)
-    # Grow the gap until the measured difference is well above jitter.
-    if (min(ts_hi) - min(ts_lo)) < 0.1 and _depth < 4:
-        return bench_spmv(
-            spmv, layout, x,
-            reps_lo=reps_lo,
-            reps_hi=reps_lo + (reps_hi - reps_lo) * 4,
-            samples=samples,
-            nnz=nnz,
-            _depth=_depth + 1,
-        )
+    fn = _loop_fn(spmv)
+    np.asarray(fn(layout, x, jnp.asarray(reps_lo, jnp.int32)))  # compile+warm
+    ts_lo = _times(fn, layout, x, reps_lo, samples)
+    ts_hi = _times(fn, layout, x, reps_hi, samples)
+    # Grow the gap until the measured difference is well above jitter
+    # (no recompiles: reps is a traced argument of the one executable).
+    while (min(ts_hi) - min(ts_lo)) < 0.1 and _depth < 4:
+        reps_hi = reps_lo + (reps_hi - reps_lo) * 4
+        ts_hi = _times(fn, layout, x, reps_hi, samples)
+        _depth += 1
     dreps = reps_hi - reps_lo
     # Per-sample slope spread (the reference's TimeMin/Max/Avg semantics,
     # spmv-csrk/spmv.cpp:168-191): time_min pairs the two sample minima
@@ -140,16 +145,16 @@ def bench_spmv(
     )
 
 
-def _loop_fn_cold(spmv, reps, K):
+def _loop_fn_cold(spmv):
     # Cold-regime variant: each fori iteration chains K SpMV calls over
     # K DISTINCT operator copies (jit arguments, so XLA cannot alias
     # them). Sized so K * layout bytes exceeds VMEM, the operator
     # cannot stay VMEM-resident between consecutive uses — every call
     # pays the full HBM fetch, which is the single-shot serving bound
     # the resident chained protocol hides (docs/PERF_NOTES.md r4
-    # "measurement-regime" note).
+    # "measurement-regime" note). reps is traced (see _loop_fn).
     @jax.jit
-    def run(layouts, x):
+    def run(layouts, x, reps):
         def body(i, xv):
             for lay in layouts:
                 y = spmv(lay, xv)
@@ -201,18 +206,14 @@ def bench_spmv_cold(
     """
     K = max(2, int(np.ceil(2 * vmem_bytes / max(layout_bytes, 1))))
     layouts = tuple(make_layout() for _ in range(K))
-    lo = _loop_fn_cold(spmv, reps_lo, K)
-    hi = _loop_fn_cold(spmv, reps_hi, K)
-    np.asarray(lo(layouts, x))  # compile + warm
-    np.asarray(hi(layouts, x))
-    ts_lo = _times(lo, layouts, x, samples)
-    ts_hi = _times(hi, layouts, x, samples)
+    fn = _loop_fn_cold(spmv)
+    np.asarray(fn(layouts, x, jnp.asarray(reps_lo, jnp.int32)))  # warm
+    ts_lo = _times(fn, layouts, x, reps_lo, samples)
+    ts_hi = _times(fn, layouts, x, reps_hi, samples)
     grow = 0
     while (min(ts_hi) - min(ts_lo)) < 0.1 and grow < 4:
         reps_hi = reps_lo + (reps_hi - reps_lo) * 4
-        hi = _loop_fn_cold(spmv, reps_hi, K)
-        np.asarray(hi(layouts, x))
-        ts_hi = _times(hi, layouts, x, samples)
+        ts_hi = _times(fn, layouts, x, reps_hi, samples)
         grow += 1
     dcalls = (reps_hi - reps_lo) * K
     t_min = max((min(ts_hi) - min(ts_lo)) / dcalls, 1e-9)
