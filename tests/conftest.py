@@ -12,6 +12,12 @@ lazily, so this still wins).
 
 import os
 
+# Hermetic cost-model constants: the on-chip batch writes a real
+# ~/.cache/tpu_spmv/calib.json whose values change run to run; tests
+# must always see the in-tree defaults (tests that exercise the overlay
+# monkeypatch TPU_SPMV_CALIB themselves).
+os.environ.setdefault("TPU_SPMV_CALIB", "/nonexistent/tpu_spmv_calib.json")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -164,6 +164,9 @@ def test_calibration_overlay(tmp_path, monkeypatch):
     a, b = fit_affine([(1, 4.25), (2, 5.2), (4, 7.1)])
     assert abs(a - 3.3) < 1e-6 and abs(b - 0.95) < 1e-6
 
+    # Isolate from any REAL ~/.cache/tpu_spmv/calib.json (the on-chip
+    # batch writes one) before sampling the defaults.
+    monkeypatch.setenv("TPU_SPMV_CALIB", str(tmp_path / "missing.json"))
     base = _ranked_subtile_cost(4)  # pairs=2, defaults
     p = tmp_path / "calib.json"
     p.write_text(json.dumps(
@@ -175,3 +178,32 @@ def test_calibration_overlay(tmp_path, monkeypatch):
     monkeypatch.setenv("TPU_SPMV_CALIB", str(tmp_path / "missing.json"))
     assert kernel_calibration() == {}
     assert _ranked_subtile_cost(4) == base
+
+
+def test_clone_layout_and_device_bytes():
+    """bench_spmv_cold depends on clones being REAL copies (distinct
+    buffers, identical values) and on device_bytes covering the array
+    leaves of every layout family."""
+    import jax
+    import numpy as np
+
+    from tpu_spmv.bench.harness import clone_layout, device_bytes
+    from tpu_spmv.bench.matrices import laplacian_2d
+    from tpu_spmv.formats.dia import DiaSlabs
+    from tpu_spmv.formats.packed import PackedRanked
+    from tpu_spmv.formats.sell import RankedSlabs
+
+    mat = laplacian_2d(48)
+    for lay in (
+        RankedSlabs.from_csr(mat),
+        PackedRanked.from_csr(mat),
+        DiaSlabs.from_csr(mat),
+    ):
+        cl = clone_layout(lay)
+        a = jax.tree_util.tree_leaves(lay)
+        b = jax.tree_util.tree_leaves(cl)
+        assert len(a) == len(b)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            assert la is not lb
+        assert device_bytes(lay) == device_bytes(cl) > 0

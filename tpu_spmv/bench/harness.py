@@ -23,6 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Minimum accepted lo/hi fetch-time difference: ~15 fetch quanta. At 4
+# quanta (the old 0.1s) a sticky quantum alignment faked consistent
+# 5-15x-slow slopes — see bench_spmv's protocol note.
+_MIN_DIFF_S = 0.4
+
+
 @dataclasses.dataclass
 class BenchResult:
     time_min: float  # seconds per SpMV (slope estimate, min over samples)
@@ -47,6 +53,16 @@ class BenchResult:
             f"TimeAvg: {self.time_avg:.6g}\n"
             f"GFLOPs: {self.gflops:.4g}\n"
         )
+
+
+def _on_cpu(x) -> bool:
+    """Platform of an already-committed array — no backend probing
+    (jax.default_backend() would try to build the TPU client, which
+    hangs when the tunnel is busy or down)."""
+    try:
+        return next(iter(x.devices())).platform == "cpu"
+    except Exception:
+        return False
 
 
 def _loop_fn(spmv):
@@ -107,31 +123,59 @@ def bench_spmv(
     spmv: callable (layout, x) -> y; square and rectangular (m != n)
     layouts both chain iterations data-dependently (see _loop_fn).
 
-    The ~26ms fetch quantum has several-ms jitter, so the slope uses
-    min-over-samples at each reps value and the reps gap adaptively grows
-    until the work difference dominates the jitter (>= 4 quanta): below
-    that, quantization alone produces 10-30% slope error.
+    Quantum-robust protocol (r4b). Fetch times through the tunnel are
+    quantized at ~26ms, and the quantum COUNT for a given payload is
+    sticky across samples — so a lo/hi pair whose true work difference
+    is a few ms can read as a consistent 4-5-quanta (0.10-0.13s)
+    difference with near-zero spread, faking a 5-15x-slow row that
+    survives min-over-samples (the r3/r4 one-off contradictions:
+    lap2d 27-vs-124, lap2d 8.9-vs-148.5, lap3d 11-vs-84 and 54-vs-365,
+    each with TimeMin == TimeAvg). Defenses:
+      1. the reps gap escalates until the measured difference is
+         >= _MIN_DIFF_S (~15 quanta), not 4;
+      2. a THIRD reps point at double the gap must confirm the slope:
+         a quantum-faked difference stays ~constant when the gap
+         doubles, so its implied slope halves — taking the min over
+         the three pairwise slopes discards the inflated reading.
     """
     fn = _loop_fn(spmv)
     np.asarray(fn(layout, x, jnp.asarray(reps_lo, jnp.int32)))  # compile+warm
+    # The quantum machinery is a tunnel artifact; CPU (interpret-mode
+    # smoke runs, tests) has no fetch quantum and interpret iterations
+    # cost ms-to-seconds — keep those runs cheap and un-escalated.
+    quick = _on_cpu(x)
+    min_diff = 0.0 if quick else _MIN_DIFF_S
     ts_lo = _times(fn, layout, x, reps_lo, samples)
     ts_hi = _times(fn, layout, x, reps_hi, samples)
-    # Grow the gap until the measured difference is well above jitter
-    # (no recompiles: reps is a traced argument of the one executable).
-    while (min(ts_hi) - min(ts_lo)) < 0.1 and _depth < 4:
+    # Grow the gap until the measured difference is well above the
+    # quantum (no recompiles: reps is traced in the one executable).
+    while not quick and (min(ts_hi) - min(ts_lo)) < min_diff \
+            and _depth < 5:
         reps_hi = reps_lo + (reps_hi - reps_lo) * 4
         ts_hi = _times(fn, layout, x, reps_hi, samples)
         _depth += 1
     dreps = reps_hi - reps_lo
+    if quick:
+        reps_h2, ts_h2 = reps_hi, ts_hi
+        pair_slopes = [(min(ts_hi) - min(ts_lo)) / dreps]
+    else:
+        # Linearity confirmation point.
+        reps_h2 = reps_lo + 2 * (reps_hi - reps_lo)
+        ts_h2 = _times(fn, layout, x, reps_h2, samples)
+        pair_slopes = [
+            (min(ts_hi) - min(ts_lo)) / dreps,
+            (min(ts_h2) - min(ts_hi)) / (reps_h2 - reps_hi),
+            (min(ts_h2) - min(ts_lo)) / (reps_h2 - reps_lo),
+        ]
+    t_min = max(min(pair_slopes), 1e-9)
     # Per-sample slope spread (the reference's TimeMin/Max/Avg semantics,
-    # spmv-csrk/spmv.cpp:168-191): time_min pairs the two sample minima
-    # (robust to one-sided fetch jitter), while the spread pairs hi
-    # sample i with lo sample i — pairing every hi with the single best
-    # lo attributed all lo-side jitter to the hi samples and biased
+    # spmv-csrk/spmv.cpp:168-191): the spread pairs h2 sample i with lo
+    # sample i over the LARGEST gap — pairing every h2 with the single
+    # best lo attributed all lo-side jitter to the h2 samples and biased
     # time_max/avg upward (ADVICE r2).
-    t_min = max((min(ts_hi) - min(ts_lo)) / dreps, 1e-9)
     slopes = [
-        max((th - tl) / dreps, 1e-9) for th, tl in zip(ts_hi, ts_lo)
+        max((th - tl) / (reps_h2 - reps_lo), 1e-9)
+        for th, tl in zip(ts_h2, ts_lo)
     ]
     if nnz is None:
         nnz = getattr(layout, "nnz")
@@ -141,7 +185,7 @@ def bench_spmv(
         time_max=max(max(slopes), t_avg),
         time_avg=t_avg,
         nnz=nnz,
-        iters=(reps_lo, reps_hi, samples),
+        iters=(reps_lo, reps_h2, samples),
     )
 
 
@@ -208,17 +252,35 @@ def bench_spmv_cold(
     layouts = tuple(make_layout() for _ in range(K))
     fn = _loop_fn_cold(spmv)
     np.asarray(fn(layouts, x, jnp.asarray(reps_lo, jnp.int32)))  # warm
+    quick = _on_cpu(x)
     ts_lo = _times(fn, layouts, x, reps_lo, samples)
     ts_hi = _times(fn, layouts, x, reps_hi, samples)
     grow = 0
-    while (min(ts_hi) - min(ts_lo)) < 0.1 and grow < 4:
+    # Same quantum-robust protocol as bench_spmv: >= ~15-quanta gap
+    # plus a third confirmation point whose pairwise-min defeats a
+    # sticky quantum alignment (skipped on CPU smoke runs).
+    while not quick and (min(ts_hi) - min(ts_lo)) < _MIN_DIFF_S \
+            and grow < 5:
         reps_hi = reps_lo + (reps_hi - reps_lo) * 4
         ts_hi = _times(fn, layouts, x, reps_hi, samples)
         grow += 1
-    dcalls = (reps_hi - reps_lo) * K
-    t_min = max((min(ts_hi) - min(ts_lo)) / dcalls, 1e-9)
+    if quick:
+        reps_h2, ts_h2 = reps_hi, ts_hi
+        pair_slopes = [
+            (min(ts_hi) - min(ts_lo)) / ((reps_hi - reps_lo) * K)
+        ]
+    else:
+        reps_h2 = reps_lo + 2 * (reps_hi - reps_lo)
+        ts_h2 = _times(fn, layouts, x, reps_h2, samples)
+        pair_slopes = [
+            (min(ts_hi) - min(ts_lo)) / ((reps_hi - reps_lo) * K),
+            (min(ts_h2) - min(ts_hi)) / ((reps_h2 - reps_hi) * K),
+            (min(ts_h2) - min(ts_lo)) / ((reps_h2 - reps_lo) * K),
+        ]
+    t_min = max(min(pair_slopes), 1e-9)
     slopes = [
-        max((th - tl) / dcalls, 1e-9) for th, tl in zip(ts_hi, ts_lo)
+        max((th - tl) / ((reps_h2 - reps_lo) * K), 1e-9)
+        for th, tl in zip(ts_h2, ts_lo)
     ]
     t_avg = max(sum(slopes) / len(slopes), t_min)
     return BenchResult(
@@ -226,7 +288,7 @@ def bench_spmv_cold(
         time_max=max(max(slopes), t_avg),
         time_avg=t_avg,
         nnz=nnz,
-        iters=(reps_lo, reps_hi, K),
+        iters=(reps_lo, reps_h2, K),
     )
 
 
