@@ -87,3 +87,21 @@ def test_spmm_windowed_matches_resident():
     Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
     assert np.linalg.norm(Y_res - Y_ref) / np.linalg.norm(Y_ref) < 1e-6
     np.testing.assert_array_equal(Y_res, Y_win)
+
+
+def test_validate_magnitude_aware_tolerance():
+    """validate() counts |delta| > tol * max(1, |oracle|): reference
+    semantics (abs 0.01, spmv-csrk/spmv.cpp:202-211) for O(1) entries,
+    relative beyond — fp32 rounding on large-magnitude y (the r4 fem_1m
+    cotangent-stiffness row) must not read as wrong."""
+    from tpu_spmv.bench.harness import validate
+
+    oracle = np.array([0.5, -0.25, 2.0e6, -3.0e6], np.float64)
+    # O(1) entries: abs semantics (0.02 > 0.01 is wrong, 0.005 is not).
+    y = oracle + np.array([0.02, 0.005, 0.0, 0.0])
+    wrong, _ = validate(y, oracle)
+    assert wrong == 1
+    # Large entries: fp32-scale relative noise passes, 2% relative fails.
+    y = oracle + np.array([0.0, 0.0, 0.5, -6.0e4])
+    wrong, _ = validate(y, oracle)
+    assert wrong == 1  # only the 2% error on -3e6

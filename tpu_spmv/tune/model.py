@@ -391,6 +391,24 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
                 f"column-binned rank windows, W={w} blocks, "
                 f"padding {s_bin * SUBLANES * LANES / max(mat.nnz, 1):.1f}x",
             ))
+            # Packed-binned: same bins without the 8-sublane quantum
+            # (kc = max(true widths, 4), slabs back-to-back) plus the
+            # in-kernel carry emit instead of the segment-sum epilogue.
+            # On the reference's fem/delaunay/road file classes the
+            # quantum is most of the fill and the epilogue was 44% of
+            # SpMV time (r5 on-chip decomposition), so this candidate
+            # usually wins there. x must be VMEM-resident (spmv_packed
+            # has no HBM-windowed variant).
+            if _packed_x_fits(mat, w):
+                kc_pk = np.maximum(kc_bin, 4)  # formats.packed.MIN_KC
+                s_pk = (-(-int(kc_pk.sum()) // SUBLANES)) * scale
+                candidates.append((
+                    s_pk * (_ranked_subtile_cost(w)
+                            + _cal("packed_over", _PACKED_OVER)),
+                    "packed", w,
+                    f"packed column-binned slabs, W={w} blocks (pad "
+                    f"{s_pk * SUBLANES * LANES / max(mat.nnz, 1):.2f}x)",
+                ))
 
         # Column-stripe candidates: binned slots at wide W under the
         # PLAIN kernel. Every sub-tile pays the static global span, so
