@@ -87,7 +87,10 @@ def test_exact_rank_nb_banded_vs_general():
 
 
 def test_tpu_plan_kernel_choice():
-    assert tpu_plan(laplacian_2d(16)).kernel == "sell"  # tiny span
+    # Tiny 5-point stencil: constant diagonals -> DIA wins since the
+    # sell candidate pays its real per-sub-tile fixed cost (r5); any
+    # slab kernel would also be correct here.
+    assert tpu_plan(laplacian_2d(16)).kernel in ("dia", "sell", "packed")
     # Wide-band STENCIL (natural order, band 2048): constant diagonals
     # -> the index-free DIA kernel wins outright (round 3).
     stencil = laplacian_2d(8, 2048)
@@ -116,17 +119,19 @@ def test_tpu_plan_kernel_choice():
     assert plan.kernel in ("ranked", "packed"), (plan.kernel, plan.reason)
     assert plan.bin_blocks == 0  # aligned windows, not binned
     # Random-within-band: no rank clustering -> binned windows beat the
-    # wide plain-kernel span loop.
+    # wide plain-kernel span loop. Quantized ranked or packed-binned
+    # (r5: same window family, quantum-free fill + in-kernel emit) are
+    # both the right class.
     wide_random = random_banded(300_000, 1500, 8, seed=1)
     plan = tpu_plan(wide_random, assume_rcm=True)
-    assert plan.kernel == "ranked" and plan.bin_blocks > 0, (
+    assert plan.kernel in ("ranked", "packed") and plan.bin_blocks > 0, (
         plan.kernel, plan.bin_blocks, plan.reason
     )
     # Fully scattered: round 1 punted to segsum at ~0.1 GF/s; the binned
     # mode bounds the gather loop regardless of structure.
     scattered = random_general(300_000, 8, seed=2)
     plan = tpu_plan(scattered, assume_rcm=True)
-    assert plan.kernel == "ranked" and plan.bin_blocks > 0, (
+    assert plan.kernel in ("ranked", "packed") and plan.bin_blocks > 0, (
         plan.kernel, plan.bin_blocks, plan.reason
     )
 

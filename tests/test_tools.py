@@ -81,14 +81,20 @@ def test_reference_gpu_params_formulas():
 def test_tpu_plan_kernels():
     banded = random_banded(2000, 40, 8, seed=1)
     plan = tpu_plan(banded, assume_rcm=True)
-    assert plan.kernel == "sell"
+    # Narrow-band: any of the slab kernels is the right family (r5: the
+    # sell candidate pays the shared per-sub-tile fixed cost it really
+    # has on chip, so packed's lower fill usually wins the model).
+    assert plan.kernel in ("sell", "ranked", "packed"), (
+        plan.kernel, plan.reason
+    )
     from tpu_spmv.bench.matrices import random_general
 
     # Scattered columns over a 50k-wide space: p95 chunk span ~380 blocks,
-    # far past the plain gather loop -> column-binned rank windows.
+    # far past the plain gather loop -> column-binned rank windows
+    # (quantized ranked or r5's packed-binned — same window family).
     scattered = random_general(50_000, 8, seed=2)
     plan2 = tpu_plan(scattered, assume_rcm=True)
-    assert plan2.kernel == "ranked" and plan2.bin_blocks > 0, (
+    assert plan2.kernel in ("ranked", "packed") and plan2.bin_blocks > 0, (
         plan2.kernel, plan2.bin_blocks, plan2.reason
     )
 

@@ -245,10 +245,18 @@ def bench_spmv_cold(
     make_layout: zero-arg callable building a fresh device copy of the
     layout (distinct buffers per copy — building from host arrays, not
     device aliases). K copies are chained cyclically with K chosen so
-    the working set is >= 2x VMEM; the reported per-call time is the
+    the working set is >= 6x VMEM; the reported per-call time is the
     K-round slope divided by K.
+
+    Why 6x: at the old 2x sizing the r4b DIA cold runs read 126-129% of
+    the bandwidth roofline (VERDICT r4 weak #4) — with half the working
+    set VMEM-capacity-sized, the compiler can keep recently-used slabs
+    resident across chained calls and the regime silently stops being
+    cold. 6x bounds any residual reuse fraction to <= 1/6 (<= 20%
+    apparent-roofline inflation in the worst case, in practice the
+    LRU-distance at 6x defeats reuse entirely).
     """
-    K = max(2, int(np.ceil(2 * vmem_bytes / max(layout_bytes, 1))))
+    K = max(3, int(np.ceil(6 * vmem_bytes / max(layout_bytes, 1))))
     layouts = tuple(make_layout() for _ in range(K))
     fn = _loop_fn_cold(spmv)
     np.asarray(fn(layouts, x, jnp.asarray(reps_lo, jnp.int32)))  # warm

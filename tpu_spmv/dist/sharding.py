@@ -431,10 +431,13 @@ class ShardedRanked:
         rank_nb = max(s.rank_nb for s in shards)
         win_w = max(s.win_w for s in shards)
         tile_k = min(s.tile_k for s in shards)
+        # Widest shard dtype wins (shards narrow independently: uint8 at
+        # rank<=2, int16 below 2^15 — formats/sell.py).
+        dts = [np.asarray(s.lcols).dtype for s in shards]
         lcol_dtype = (
-            np.int32
-            if any(np.asarray(s.lcols).dtype == np.int32 for s in shards)
-            else np.int16
+            np.int32 if np.int32 in dts
+            else np.int16 if np.int16 in dts
+            else np.uint8
         )
         padk = _padk
 

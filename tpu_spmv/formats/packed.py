@@ -214,8 +214,13 @@ class PackedRanked:
         lcols = np.where(real, cols - (base_cols << 7), 0)
         rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
         assert lcols.min() >= 0
+        # uint8 when rank_nb <= 2 (see RankedSlabs.from_csr): 1B/slot
+        # column indices on the irregular W<=2 binned classes.
+        lmax = int(lcols.max()) if S else 0
         lcols = lcols.astype(
-            np.int16 if int(lcols.max()) < 2**15 else np.int32
+            np.uint8 if lmax < 2**8
+            else np.int16 if lmax < 2**15
+            else np.int32
         )
 
         sub_b0 = sub_base.min(axis=1)

@@ -70,17 +70,25 @@ def kernel_calibration() -> dict:
     import json
     import os
 
-    path = os.environ.get(
-        "TPU_SPMV_CALIB",
+    candidates = [
         os.path.expanduser("~/.cache/tpu_spmv/calib.json"),
-    )
-    try:
-        with open(path) as f:
-            table = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    entry = table.get(device_spec().kind, {})
-    return entry if isinstance(entry, dict) else {}
+        # Repo-local fallback: the measured r4b constants ship with the
+        # source so a fresh environment (or a wiped cache) still plans
+        # with on-chip numbers instead of the conservative defaults.
+        os.path.join(os.path.dirname(__file__), "data", "calib.json"),
+    ]
+    env = os.environ.get("TPU_SPMV_CALIB")
+    if env:
+        candidates = [env]
+    for path in candidates:
+        try:
+            with open(path) as f:
+                table = json.load(f)
+        except (OSError, ValueError):
+            continue
+        entry = table.get(device_spec().kind, {})
+        return entry if isinstance(entry, dict) else {}
+    return {}
 
 
 def interpret_mode() -> bool:

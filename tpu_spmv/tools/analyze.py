@@ -108,6 +108,31 @@ def load_balance(mat) -> dict:
     }
 
 
+def dense_roofline(mat) -> dict:
+    """Dense-GEMV equivalent datum — the 'fourth vendor baseline' role.
+
+    The reference reports MKL/cuSPARSE/hipSPARSE/Kokkos numbers per
+    matrix; on TPU the natural extra baseline is the DENSE operator the
+    MXU would stream: a dense y = A x moves m*n*4 bytes of operator at
+    HBM rate (the MXU is never the bound at these aspect ratios), so
+    its achievable effective-sparse rate is 2*nnz / (m*n*4 / BW). For
+    every benchmark matrix this is orders of magnitude below the sparse
+    kernels — the datum quantifies WHY a sparse framework exists on a
+    dense-matmul-first architecture.
+    """
+    from tpu_spmv.hw import device_spec
+
+    bw = device_spec().hbm_bytes_per_s
+    dense_bytes = mat.m * mat.n * 4
+    dense_time = dense_bytes / bw
+    return {
+        "dense_operator_mb": dense_bytes / 2**20,
+        "dense_time_s": dense_time,
+        "dense_equiv_gflops": 2 * mat.nnz / dense_time / 1e9,
+        "density": mat.nnz / max(mat.m * mat.n, 1),
+    }
+
+
 def main(argv=None):
     from tpu_spmv.tools.stats import load
 
@@ -123,6 +148,9 @@ def main(argv=None):
         print(f"{name}: {v}")
     print("== kernel load balance")
     for name, v in load_balance(mat).items():
+        print(f"{name}: {v}")
+    print("== dense-GEMV equivalent (vendor-baseline datum)")
+    for name, v in dense_roofline(mat).items():
         print(f"{name}: {v}")
     return 0
 

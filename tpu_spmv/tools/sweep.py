@@ -227,8 +227,24 @@ def main(argv=None):
                             from tpu_spmv.formats.packed import PackedRanked
                             from tpu_spmv.kernels.packed import spmv_packed
 
-                            lay = PackedRanked.from_csr(mat_l, val_dtype=vdt)
-                            fn = functools.partial(spmv_packed, interpret=interp)
+                            try:
+                                lay = PackedRanked.from_csr(
+                                    mat_l, val_dtype=vdt,
+                                    bin_blocks=max(bb, 0),
+                                )
+                                fn = functools.partial(
+                                    spmv_packed, interpret=interp
+                                )
+                            except ValueError:
+                                # Packed-delta overflow (back-to-back
+                                # slabs mixing distant chunks): the
+                                # quantized ranked layout bins per chunk.
+                                lay = RankedSlabs.from_csr(
+                                    mat_l, bin_blocks=bb, val_dtype=vdt
+                                )
+                                fn = functools.partial(
+                                    spmv_ranked, interpret=interp
+                                )
                             pad, nb = lay.padding_ratio, lay.rank_nb
                         elif kern == "bcoo":
                             lay = BCOOLayout.from_csr(mat_l)

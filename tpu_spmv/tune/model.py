@@ -141,6 +141,15 @@ _DIA_STEP_COST = 1.1
 # (ranked 4.34 units/sub-tile at 8192 sub-tiles, packed ~7.3 at 5378);
 # overridable by on-chip calibration like ranked_fixed/pair_cost.
 _PACKED_OVER = 3.0
+# XLA segment-sum epilogue charge per sub-tile for RAGGED quantized
+# layouts (sell/ranked when slab heights vary, so _reduce_partials
+# cannot reshape-sum): measured on fem_1m r5, 210us over 28416
+# sub-tiles = 7.4 ns/sub ~= 3.3 plain-iteration units — 44% of that
+# row's SpMV time. Uniform layouts (chunk_q > 0) and packed (in-kernel
+# carry emit + gather epilogue) pay ~none. Without this term the model
+# preferred ranked over packed on every file matrix while the chip
+# measured the opposite.
+_EPI_COST = 3.3
 
 
 def exact_rank_nb(mat, align: bool = True, slots=None) -> tuple[int, int]:
@@ -289,6 +298,19 @@ def _ranked_subtile_cost(rank_nb: int) -> float:
     )
 
 
+def _epi_cost(kc) -> float:
+    """Per-sub-tile segment-sum epilogue charge for a quantized layout
+    with the given per-chunk (unquantized) slab heights: zero when the
+    quantized heights are uniform (_reduce_partials reshape-sums), the
+    measured _EPI_COST otherwise (ragged -> XLA segment-sum)."""
+    from tpu_spmv.formats.sell import SUBLANES
+
+    kcq = np.maximum((np.asarray(kc) + SUBLANES - 1) // SUBLANES, 1)
+    if kcq.size and (kcq == kcq[0]).all():
+        return 0.0
+    return _cal("epi_cost", _EPI_COST)
+
+
 def _packed_x_fits(mat, rank_nb: int) -> bool:
     """Mirror of kernels.pallas_sell.resident_x_fits for the planner:
     spmv_packed keeps x fully VMEM-resident (no windowed variant), so
@@ -349,15 +371,26 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         kc_ord = lpad.reshape(nch, LANES).max(axis=1)
         s_ord = _subtiles_from_kc(kc_ord) * scale
         if est_nb <= _SPAN_LIMIT:
+            # The sell body pays the same per-sub-tile fixed cost as the
+            # ranked kernels (slab loads, sublane reduce, store) on top
+            # of its per-block gather iterations; without the fixed term
+            # the model predicted 103us for road_2m's span-3 loop where
+            # the chip measured 264 (r5, scratch/r5_chip_batch1.py) and
+            # mis-picked sell over packed-aligned (217us measured).
             candidates.append((
-                s_ord * max(est_nb, _TRAFFIC_FLOOR), "sell", 0,
+                s_ord * (_cal("ranked_fixed", _RANKED_FIXED)
+                         + max(est_nb, _TRAFFIC_FLOOR)
+                         + _epi_cost(kc_ord)),
+                "sell", 0,
                 f"plain gather loop over chunk span {est_nb:.0f} blocks",
             ))
 
         s_ali = _subtiles_from_kc(ali_slots[1]) * scale
         if est_rank <= 250:
             candidates.append((
-                s_ali * _ranked_subtile_cost(int(est_rank)), "ranked", 0,
+                s_ali * (_ranked_subtile_cost(int(est_rank))
+                         + _epi_cost(ali_slots[1])),
+                "ranked", 0,
                 f"aligned rank windows, span {est_rank:.0f} blocks",
             ))
 
@@ -387,7 +420,8 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
                 continue
             s_bin = _subtiles_from_kc(kc_bin) * scale
             candidates.append((
-                s_bin * _ranked_subtile_cost(w), "ranked", w,
+                s_bin * (_ranked_subtile_cost(w) + _epi_cost(kc_bin)),
+                "ranked", w,
                 f"column-binned rank windows, W={w} blocks, "
                 f"padding {s_bin * SUBLANES * LANES / max(mat.nnz, 1):.1f}x",
             ))
@@ -428,7 +462,9 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
                 continue
             s_str = n_sub * scale
             candidates.append((
-                s_str * max(float(span), _TRAFFIC_FLOOR), "sell", w,
+                s_str * (_cal("ranked_fixed", _RANKED_FIXED)
+                         + max(float(span), _TRAFFIC_FLOOR)),
+                "sell", w,
                 f"column-striped plain kernel, W={w} blocks "
                 f"(span {span}, padding "
                 f"{s_str * SUBLANES * LANES / max(mat.nnz, 1):.1f}x)",
@@ -499,6 +535,18 @@ def tpu_plan(mat, assume_rcm: bool = False, exact: bool = True) -> TpuPlan:
         cost = 0.0
     else:
         cost, kernel, bin_blocks, reason = min(candidates, key=lambda c: c[0])
+        if "pad" in reason:
+            # Padding-floor classes (uniformly scattered structure): the
+            # chosen minimum can still carry 10-80x fill. That is the
+            # cost-model optimum — every lower-pad candidate is slower
+            # (docs/PERF_NOTES.md r5 "scattered floor") — but flag it so
+            # sweep rows and users see the class, not a silent 73x.
+            import re
+
+            m_pad = re.search(r"pad(?:ding)? ([0-9.]+)x", reason)
+            if m_pad and float(m_pad.group(1)) > 8.0:
+                reason += " [padding-floor class: scattered structure;"\
+                    " see PERF_NOTES scattered-floor model]"
 
     if kernel == "dia":
         # Any symmetric permutation (RCM) or row sort (sigma) destroys
