@@ -252,9 +252,18 @@ def bench_spmv_cold(
     the bandwidth roofline (VERDICT r4 weak #4) — with half the working
     set VMEM-capacity-sized, the compiler can keep recently-used slabs
     resident across chained calls and the regime silently stops being
-    cold. 6x bounds any residual reuse fraction to <= 1/6 (<= 20%
-    apparent-roofline inflation in the worst case, in practice the
-    LRU-distance at 6x defeats reuse entirely).
+    cold. 6x bounds any residual reuse fraction to <= 1/6; the r5
+    on-chip ladder (scratch/r5_cold_probe.py) measured per-call time
+    FLAT from 6x to 24x VMEM (780 MB -> 3 GB working set, 27.3 -> 25.5
+    us/call) and identical times for value-distinct vs cloned copies,
+    so at 6x the operator is genuinely cold.
+
+    Accounting caveat for consumers: only the OPERATOR copies are
+    forced through HBM; the x/y/carry chain (a few MB) stays
+    VMEM-resident across the chained calls (XLA buffer assignment), so
+    the regime's roofline must be computed against layout bytes only —
+    charging x+y too is how r4b read an impossible 126-136%
+    (PERF_NOTES r5 "cold accounting").
     """
     K = max(3, int(np.ceil(6 * vmem_bytes / max(layout_bytes, 1))))
     layouts = tuple(make_layout() for _ in range(K))

