@@ -167,7 +167,12 @@ def bench_spmv(
             (min(ts_h2) - min(ts_hi)) / (reps_h2 - reps_hi),
             (min(ts_h2) - min(ts_lo)) / (reps_h2 - reps_lo),
         ]
-    t_min = max(min(pair_slopes), 1e-9)
+    # A non-positive pairwise slope means one endpoint's every sample
+    # was wedged (tunnel stall): more reps cannot take less time. Such
+    # pairs are measurement failures, not fast readings — dropping them
+    # prevents the absurd t_min = 1e-9 rows (r5: spmm B=16 "0.0 us").
+    pos = [s for s in pair_slopes if s > 0]
+    t_min = max(min(pos), 1e-9) if pos else max(max(pair_slopes), 1e-9)
     # Per-sample slope spread (the reference's TimeMin/Max/Avg semantics,
     # spmv-csrk/spmv.cpp:168-191): the spread pairs h2 sample i with lo
     # sample i over the LARGEST gap — pairing every h2 with the single
@@ -294,7 +299,10 @@ def bench_spmv_cold(
             (min(ts_h2) - min(ts_hi)) / ((reps_h2 - reps_hi) * K),
             (min(ts_h2) - min(ts_lo)) / ((reps_h2 - reps_lo) * K),
         ]
-    t_min = max(min(pair_slopes), 1e-9)
+    # See bench_spmv: non-positive pairwise slopes are wedged-endpoint
+    # measurement failures, never fast readings.
+    pos = [s for s in pair_slopes if s > 0]
+    t_min = max(min(pos), 1e-9) if pos else max(max(pair_slopes), 1e-9)
     slopes = [
         max((th - tl) / ((reps_h2 - reps_lo) * K), 1e-9)
         for th, tl in zip(ts_h2, ts_lo)
