@@ -105,3 +105,25 @@ def test_validate_magnitude_aware_tolerance():
     y = oracle + np.array([0.0, 0.0, 0.5, -6.0e4])
     wrong, _ = validate(y, oracle)
     assert wrong == 1  # only the 2% error on -3e6
+
+
+def test_dense_baseline_matches_oracle_and_caps():
+    import pytest
+
+    from tpu_spmv.kernels.dense import DenseLayout, spmv_dense
+
+    for mat in [laplacian_2d(24), random_general(500, 6, seed=3)]:
+        x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
+        lay = DenseLayout.from_csr(mat)
+        y = np.asarray(spmv_dense(lay, jnp.asarray(x)))
+        assert _rel_l2(y, mat.matvec(x)) < 1e-6
+    # rectangular: m != n
+    from tpu_spmv.formats.csr import CSRMatrix
+
+    rect = CSRMatrix.from_coo([0, 2], [1, 0], [2.0, 3.0], (3, 2))
+    yr = np.asarray(spmv_dense(DenseLayout.from_csr(rect),
+                               jnp.array([1.0, 10.0], jnp.float32)))
+    np.testing.assert_allclose(yr, [20.0, 0.0, 3.0])
+    # the size cap refuses large densifications
+    with pytest.raises(ValueError):
+        DenseLayout.from_csr(laplacian_2d(24), max_elems=1000)

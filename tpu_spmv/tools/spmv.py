@@ -43,7 +43,7 @@ def main(argv=None):
     ap.add_argument(
         "--kernel", default="auto",
         choices=("auto", "sell", "ranked", "segsum", "bcoo", "dia",
-                 "striped", "packed"),
+                 "striped", "packed", "dense"),
     )
     ap.add_argument("--k", type=int, default=None,
                     help="CSR-k depth; default 1 (plain) or len(sizes)+1")
@@ -341,6 +341,14 @@ def main(argv=None):
         fn = functools.partial(spmv_striped, interpret=interp)
         print(f"column stripes: P={layout.num_stripes}, "
               f"padding {layout.padding_ratio:.2f}x")
+        bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
+    elif kernel == "dense":
+        from tpu_spmv.kernels.dense import DenseLayout, spmv_dense
+
+        layout = DenseLayout.from_csr(ck.matrix)
+        fn = spmv_dense
+        print(f"dense baseline: operator {layout.a.size * 4 / 2**20:.1f} "
+              f"MB, density {mat.nnz / max(mat.m * mat.n, 1):.2%}")
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "bcoo":
         layout = BCOOLayout.from_csr(ck.matrix)

@@ -254,6 +254,16 @@ def main(argv=None):
                             lay = BCOOLayout.from_csr(mat_l)
                             fn = spmv_bcoo
                             pad, nb = 1.0, 0
+                        elif kern == "dense":
+                            from tpu_spmv.kernels.dense import (
+                                DenseLayout, spmv_dense,
+                            )
+
+                            lay = DenseLayout.from_csr(mat_l)
+                            fn = spmv_dense
+                            # pad = densification blow-up (the datum).
+                            pad = mat.m * mat.n / max(mat.nnz, 1)
+                            nb = 0
                         else:
                             lay = SegsumLayout.from_csr(mat_l)
                             fn = spmv_segsum
