@@ -27,6 +27,10 @@ import numpy as np
 # quanta (the old 0.1s) a sticky quantum alignment faked consistent
 # 5-15x-slow slopes — see bench_spmv's protocol note.
 _MIN_DIFF_S = 0.4
+# Cap on one XLA execution: the relay worker dies past ~30s (see
+# bench_spmv); 8s for the hi point keeps the h2 point near 16s
+# (longest observed survivor: 23s; first observed crash: 31s).
+_MAX_EXEC_S = 8.0
 
 
 @dataclasses.dataclass
@@ -146,6 +150,16 @@ def bench_spmv(
     quick = _on_cpu(x)
     min_diff = 0.0 if quick else _MIN_DIFF_S
     ts_lo = _times(fn, layout, x, reps_lo, samples)
+    # Single-execution wall-time budget: the tunnel's TPU worker dies
+    # on XLA executions past ~30s (r5: the banded_1m segsum row at
+    # 0.29 s/rep x 108 reps crashed the worker on every attempt, in
+    # fresh processes too). Scale reps_hi so the hi point stays near
+    # _MAX_EXEC_S and the h2 confirmation (double gap) near 2x that —
+    # slow rows keep a >= 10s lo->hi difference, far above the 0.4s
+    # quantum bar, so the slope protocol's defenses are unaffected.
+    per_rep = min(ts_lo) / max(reps_lo, 1)
+    if not quick and (reps_hi - reps_lo) * per_rep > _MAX_EXEC_S:
+        reps_hi = reps_lo + max(2, int(_MAX_EXEC_S / per_rep))
     ts_hi = _times(fn, layout, x, reps_hi, samples)
     # Grow the gap until the measured difference is well above the
     # quantum (no recompiles: reps is traced in the one executable).
