@@ -55,7 +55,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs
+    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.spmm import spmm_ranked, spmm_ranked_windowed
     from tpu_spmv.tools.spmv import load_input
@@ -137,10 +137,12 @@ def main(argv=None):
         mat_v = mat.rounded(jnp.bfloat16)
         print("(bf16 values: validated vs the bf16-rounded operator)")
     Y_ref = np.stack([mat_v.matvec(X[:, b]) for b in range(B)], axis=1)
-    wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))
-    rel = float(
-        np.linalg.norm(Y - Y_ref) / max(np.linalg.norm(Y_ref), 1e-30)
-    )
+    # Shared magnitude-aware tolerance (bench.harness.validate): the
+    # raw |delta| > tol absolute count trips on fp32 summation noise
+    # for large-|y| matrices (the r4 fem_1m SpMV artifact, VERDICT r4
+    # weak #1; this CLI had the same latent issue — the r5 fem_1m B=8
+    # run read 34 "wrong" at rel-L2 8.5e-08).
+    wrong, rel = validate(Y, Y_ref, tol=args.tol)
     if args.validate_only:
         print(f"Number Wrong: {wrong} ")
         print(f"RelL2: {rel:.3g}")
@@ -173,7 +175,7 @@ def _distributed(mat, args, B, vdt):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from tpu_spmv.bench.harness import bench_spmv
+    from tpu_spmv.bench.harness import bench_spmv, validate
     from tpu_spmv.dist.sharding import (
         OverlapRanked, ShardedRanked, make_row_mesh, spmm_overlap,
         spmm_sharded,
@@ -231,10 +233,8 @@ def _distributed(mat, args, B, vdt):
     if vdt is not None:
         print("(bf16 values: validated vs the bf16-rounded operator)")
     Y_ref = np.stack([mat_v.matvec(X[:, b]) for b in range(B)], axis=1)
-    wrong = int(np.sum(np.abs(Y - Y_ref) > args.tol))
-    rel = float(
-        np.linalg.norm(Y - Y_ref) / max(np.linalg.norm(Y_ref), 1e-30)
-    )
+    # Magnitude-aware count, same rationale as the single-chip path.
+    wrong, rel = validate(Y, Y_ref, tol=args.tol)
     if not args.validate_only:
         res = bench_spmv(
             fn, lay, Xj, reps_hi=8 + max(args.num_runs, 20),
