@@ -176,10 +176,9 @@ def weak_scaling(
             )
             y = np.asarray(spmv_sharded(lp, xj, mesh, axis))[: mat.m]
             y_ref = mat.matvec(x)
-            wrong = int(np.sum(np.abs(y - y_ref) > 0.01))
-            rel = float(
-                np.linalg.norm(y - y_ref) / max(np.linalg.norm(y_ref), 1e-30)
-            )
+            from tpu_spmv.bench.harness import validate
+
+            wrong, rel = validate(y, y_ref)
             if d > 1 and lay.halo:
                 # The overlapped schedule must agree too (the weak-
                 # scaling table is also its correctness record).
@@ -188,7 +187,7 @@ def weak_scaling(
                 y_o = np.asarray(spmv_overlap(op, xj, mesh, axis=axis))[
                     : mat.m
                 ]
-                wrong += int(np.sum(np.abs(y_o - y_ref) > 0.01))
+                wrong += validate(y_o, y_ref)[0]
             row.update(executed=True, num_wrong=wrong, rel_l2=f"{rel:.3g}")
         rows.append(row)
     return rows
