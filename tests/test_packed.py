@@ -198,3 +198,42 @@ def test_packed_binned_cuts_quantum_fill():
     x = np.random.default_rng(0).standard_normal(mat.n).astype(np.float32)
     y = np.asarray(spmv_packed(pk, jnp.asarray(x), interpret=True))
     assert _rel(y, mat.matvec(x)) < 1e-6
+
+
+def test_spmm_packed_matches_columnwise_spmv():
+    """spmm_packed == B independent spmv_packed columns, across the
+    delta-window, grouped-window, binned, and multi-tile carry paths."""
+    from tpu_spmv.kernels.spmm import spmm_packed
+
+    cases = [
+        (laplacian_2d(40), dict()),
+        (random_banded(640, 40, 8, seed=4), dict()),
+        (laplacian_2d(150), dict(tile_k=512)),      # carry across tiles
+        (random_banded(800, 120, 10, seed=2), dict(bin_blocks=2)),
+    ]
+    for B in (1, 3, 8):
+        for mat, kw in cases:
+            lay = PackedRanked.from_csr(mat, **kw)
+            X = np.random.default_rng(B).standard_normal(
+                (mat.n, B)
+            ).astype(np.float32)
+            Y = np.asarray(spmm_packed(lay, jnp.asarray(X), interpret=True))
+            ref = np.stack(
+                [mat.matvec(X[:, b]) for b in range(B)], axis=1
+            )
+            assert Y.shape == ref.shape
+            assert _rel(Y, ref) < 1e-6, (mat.shape, B, kw)
+
+
+def test_spmm_packed_grouped_path():
+    from tpu_spmv.kernels.spmm import spmm_packed
+
+    mat = laplacian_2d(48)
+    lay_g = PackedRanked.from_csr(mat, allow_groups=True)
+    assert lay_g.group_code != 0
+    X = np.random.default_rng(0).standard_normal((mat.n, 4)).astype(
+        np.float32
+    )
+    Y = np.asarray(spmm_packed(lay_g, jnp.asarray(X), interpret=True))
+    ref = np.stack([mat.matvec(X[:, b]) for b in range(4)], axis=1)
+    assert _rel(Y, ref) < 1e-6

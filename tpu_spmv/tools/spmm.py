@@ -79,6 +79,32 @@ def main(argv=None):
     # Plan-driven bin width: scattered structure exceeds the aligned
     # windows' packed-delta range (same fallback story as tools/spmv.py).
     plan = tpu_plan(mat, assume_rcm=perm is not None)
+    # The packed layouts win on the irregular file classes (lower fill,
+    # gather epilogue — ROUND5_SUMMARY item 1); honor the planner's
+    # packed pick for the resident regime (spmm_packed, r5). Windowed
+    # and explicit --kernel requests stay on the ranked path.
+    if plan.kernel == "packed" and args.kernel == "auto":
+        from tpu_spmv.formats.packed import PackedRanked
+        from tpu_spmv.kernels.pallas_sell import resident_x_fits
+        from tpu_spmv.kernels.spmm import spmm_packed
+
+        try:
+            p_lay = PackedRanked.from_csr(
+                mat, bin_blocks=max(plan.bin_blocks, 0), val_dtype=vdt
+            )
+        except ValueError:
+            p_lay = None  # packed-delta overflow: ranked fallback below
+        if p_lay is not None and resident_x_fits(p_lay, batch=B):
+            print(
+                f"auto kernel: packed (plan; fill "
+                f"{p_lay.padding_ratio:.2f}, staged X "
+                f"{4 * mat.n * B / 2**20:.1f} MB)"
+            )
+            return _run_single(
+                mat, args, B, vdt,
+                functools.partial(spmm_packed, interpret=interp),
+                p_lay,
+            )
     try:
         layout = RankedSlabs.from_csr(
             mat, bin_blocks=plan.bin_blocks, val_dtype=vdt
@@ -127,6 +153,16 @@ def main(argv=None):
         spmm_ranked if kernel == "resident" else spmm_ranked_windowed,
         interpret=interp,
     )
+    return _run_single(mat, args, B, vdt, fn, layout)
+
+
+def _run_single(mat, args, B, vdt, fn, layout):
+    """Generate X, validate against the column-wise serial oracle,
+    slope-bench, and report — shared by the ranked and packed paths."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
 
     rng = np.random.default_rng(0)
     X = rng.standard_normal((mat.n, B)).astype(np.float32)
