@@ -130,29 +130,67 @@ def main(argv=None):
                 "X exceeds the VMEM budget but the layout has no "
                 "per-tile windows (scattered structure); no SpMM path"
             )
+    Bp = B
     if kernel == "windowed":
+        # Column-chunking: the windowed kernel's double-buffered x
+        # window scratch is 2 * win_w * B' * 128 * 4 bytes — on
+        # weakly-banded matrices win_w can reach thousands of blocks
+        # (road_2m: ~15k), and B'=8 then exceeds scoped VMEM (r5:
+        # 122 MB vs the 16 MB limit, a hard Mosaic compile error).
+        # Run ceil(B/B') passes at the largest B' whose scratch fits.
+        from tpu_spmv.hw import device_spec
+
+        win_bytes = 2 * max(layout.win_w, 1) * 128 * 4
+        # Mosaic's scoped-VMEM limit is 16 MB; leave ~4 MB for the
+        # double-buffered vals/lcols tiles and semaphores.
+        budget = 12 * 2**20
+        while Bp > 1 and win_bytes * Bp > budget:
+            Bp = (Bp + 1) // 2
+        if win_bytes * Bp > budget:
+            raise SystemExit(
+                f"no windowed SpMM path: the per-tile x window is "
+                f"{layout.win_w} blocks ({win_bytes / 2**20:.0f} MB "
+                f"double-buffered), beyond the VMEM scratch budget even "
+                f"at one column per pass. Options: --devices N (row "
+                f"sharding shrinks per-shard windows) or B columns of "
+                f"single-vector spmv_packed/spmv_striped."
+            )
+        if Bp < B:
+            print(f"windowed SpMM: column-chunked at B'={Bp} "
+                  f"(window scratch {win_bytes * B / 2**20:.0f} MB at "
+                  f"B={B} exceeds the VMEM scratch budget)")
         # The windowed kernel is locked to the layout's grid tile
         # (tile_b0 metadata); at the r4 padded-up 2048-sublane tiles a
         # B-scaled step count can spill into lax.fori_loop. Rebuild at
-        # the largest unroll-safe tile cap for this B.
+        # the largest unroll-safe tile cap for this B'.
         from tpu_spmv.kernels.pallas_sell import _UNROLL_BUDGET
 
         npairs = max((layout.rank_nb + 1) // 2, 1)
-        inner = 2 * npairs * B
+        inner = 2 * npairs * Bp
         cap = layout.tile_k
         while cap > 512 and (cap // 8) * inner > _UNROLL_BUDGET:
             cap //= 2
         if cap != layout.tile_k:
-            print(f"rebuilding layout at tile {cap} for B={B} "
+            print(f"rebuilding layout at tile {cap} for B'={Bp} "
                   "(unroll budget)")
             layout = RankedSlabs.from_csr(
                 mat, bin_blocks=plan.bin_blocks, val_dtype=vdt,
                 tile_k=cap,
             )
-    fn = functools.partial(
-        spmm_ranked if kernel == "resident" else spmm_ranked_windowed,
-        interpret=interp,
-    )
+    if kernel == "resident":
+        fn = functools.partial(spmm_ranked, interpret=interp)
+    elif Bp == B:
+        fn = functools.partial(spmm_ranked_windowed, interpret=interp)
+    else:
+        import jax.numpy as _jnp
+
+        base = functools.partial(spmm_ranked_windowed, interpret=interp)
+
+        def fn(lay, Xfull):
+            return _jnp.concatenate(
+                [base(lay, Xfull[:, i:i + Bp]) for i in range(0, B, Bp)],
+                axis=1,
+            )
     return _run_single(mat, args, B, vdt, fn, layout)
 
 
