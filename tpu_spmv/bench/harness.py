@@ -143,31 +143,46 @@ def bench_spmv(
          the three pairwise slopes discards the inflated reading.
     """
     fn = _loop_fn(spmv)
-    np.asarray(fn(layout, x, jnp.asarray(reps_lo, jnp.int32)))  # compile+warm
+    # Warm/compile at 2 reps and use its wall time as a conservative
+    # per-rep bound (it includes compile, so it only over-estimates).
+    t0 = time.perf_counter()
+    np.asarray(fn(layout, x, jnp.asarray(2, jnp.int32)))  # compile+warm
+    per_rep0 = (time.perf_counter() - t0) / 2
     # The quantum machinery is a tunnel artifact; CPU (interpret-mode
     # smoke runs, tests) has no fetch quantum and interpret iterations
     # cost ms-to-seconds — keep those runs cheap and un-escalated.
     quick = _on_cpu(x)
     min_diff = 0.0 if quick else _MIN_DIFF_S
-    ts_lo = _times(fn, layout, x, reps_lo, samples)
     # Single-execution wall-time budget: the tunnel's TPU worker dies
     # on XLA executions past ~30s (r5: the banded_1m segsum row at
     # 0.29 s/rep x 108 reps crashed the worker on every attempt, in
-    # fresh processes too). Scale reps_hi so the hi point stays near
-    # _MAX_EXEC_S and the h2 confirmation (double gap) near 2x that —
-    # slow rows keep a >= 10s lo->hi difference, far above the 0.4s
-    # quantum bar, so the slope protocol's defenses are unaffected.
+    # fresh processes too; longest observed survivor 23s). EVERY point
+    # must respect the budget — the lo base, the hi point (~_MAX_EXEC_S)
+    # and the h2 confirmation at double the gap (~2x _MAX_EXEC_S = 16s).
+    # Slow rows keep a multi-second lo->hi difference, far above the
+    # 0.4s quantum bar, so the slope protocol's defenses are unaffected.
+    if not quick and reps_lo * per_rep0 > _MAX_EXEC_S / 2:
+        reps_lo = max(2, int(_MAX_EXEC_S / 2 / per_rep0))
+    ts_lo = _times(fn, layout, x, reps_lo, samples)
     per_rep = min(ts_lo) / max(reps_lo, 1)
-    if not quick and (reps_hi - reps_lo) * per_rep > _MAX_EXEC_S:
-        reps_hi = reps_lo + max(2, int(_MAX_EXEC_S / per_rep))
+    if not quick:
+        # reps_h2 = lo + 2*gap must stay within ~2x the budget.
+        gap_cap = max(2, int((2 * _MAX_EXEC_S / per_rep - reps_lo) / 2))
+        reps_hi = min(reps_hi, reps_lo + gap_cap)
     ts_hi = _times(fn, layout, x, reps_hi, samples)
     # Grow the gap until the measured difference is well above the
     # quantum (no recompiles: reps is traced in the one executable).
     while not quick and (min(ts_hi) - min(ts_lo)) < min_diff \
             and _depth < 5:
-        reps_hi = reps_lo + (reps_hi - reps_lo) * 4
+        grown = reps_lo + (reps_hi - reps_lo) * 4
+        per_hi = min(ts_hi) / max(reps_hi, 1)
+        reps_hi = min(grown, reps_lo + max(
+            2, int((2 * _MAX_EXEC_S / max(per_hi, 1e-12) - reps_lo) / 2)
+        ))
         ts_hi = _times(fn, layout, x, reps_hi, samples)
         _depth += 1
+        if reps_hi < grown:
+            break  # budget-bound: a wider gap is not available
     dreps = reps_hi - reps_lo
     if quick:
         reps_h2, ts_h2 = reps_hi, ts_hi
@@ -284,12 +299,25 @@ def bench_spmv_cold(
     charging x+y too is how r4b read an impossible 126-136%
     (PERF_NOTES r5 "cold accounting").
     """
-    K = max(3, int(np.ceil(6 * vmem_bytes / max(layout_bytes, 1))))
+    quick = _on_cpu(x)
+    # CPU smoke runs have no VMEM to defeat; the 6x-VMEM formula would
+    # build thousands of copies of a tiny test layout (and hang the
+    # interpret-mode build loop). 4 copies keep the protocol shape.
+    K = 4 if quick else max(
+        3, int(np.ceil(6 * vmem_bytes / max(layout_bytes, 1)))
+    )
     layouts = tuple(make_layout() for _ in range(K))
     fn = _loop_fn_cold(spmv)
     np.asarray(fn(layouts, x, jnp.asarray(reps_lo, jnp.int32)))  # warm
-    quick = _on_cpu(x)
     ts_lo = _times(fn, layouts, x, reps_lo, samples)
+    # Same single-execution wall-time budget as bench_spmv (the relay
+    # worker dies past ~30s; here one rep = K chained calls, so slow
+    # layouts reach the limit at small reps): keep the h2 point
+    # (lo + 2*gap reps) within ~2x _MAX_EXEC_S.
+    per_rep = min(ts_lo) / max(reps_lo, 1)
+    if not quick:
+        gap_cap = max(1, int((2 * _MAX_EXEC_S / per_rep - reps_lo) / 2))
+        reps_hi = min(reps_hi, reps_lo + gap_cap)
     ts_hi = _times(fn, layouts, x, reps_hi, samples)
     grow = 0
     # Same quantum-robust protocol as bench_spmv: >= ~15-quanta gap
@@ -297,9 +325,15 @@ def bench_spmv_cold(
     # sticky quantum alignment (skipped on CPU smoke runs).
     while not quick and (min(ts_hi) - min(ts_lo)) < _MIN_DIFF_S \
             and grow < 5:
-        reps_hi = reps_lo + (reps_hi - reps_lo) * 4
+        grown = reps_lo + (reps_hi - reps_lo) * 4
+        per_hi = min(ts_hi) / max(reps_hi, 1)
+        reps_hi = min(grown, reps_lo + max(
+            1, int((2 * _MAX_EXEC_S / max(per_hi, 1e-12) - reps_lo) / 2)
+        ))
         ts_hi = _times(fn, layouts, x, reps_hi, samples)
         grow += 1
+        if reps_hi < grown:
+            break  # budget-bound: a wider gap is not available
     if quick:
         reps_h2, ts_h2 = reps_hi, ts_hi
         pair_slopes = [

@@ -55,7 +55,6 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from tpu_spmv.bench.harness import bench_spmv, roofline_nnzs, validate
     from tpu_spmv.formats.sell import RankedSlabs
     from tpu_spmv.kernels.spmm import spmm_ranked, spmm_ranked_windowed
     from tpu_spmv.tools.spmv import load_input
@@ -138,8 +137,6 @@ def main(argv=None):
         # (road_2m: ~15k), and B'=8 then exceeds scoped VMEM (r5:
         # 122 MB vs the 16 MB limit, a hard Mosaic compile error).
         # Run ceil(B/B') passes at the largest B' whose scratch fits.
-        from tpu_spmv.hw import device_spec
-
         win_bytes = 2 * max(layout.win_w, 1) * 128 * 4
         # Mosaic's scoped-VMEM limit is 16 MB; leave ~4 MB for the
         # double-buffered vals/lcols tiles and semaphores.
@@ -191,12 +188,18 @@ def main(argv=None):
                 [base(lay, Xfull[:, i:i + Bp]) for i in range(0, B, Bp)],
                 axis=1,
             )
-    return _run_single(mat, args, B, vdt, fn, layout)
+    passes = -(-B // Bp)
+    return _run_single(mat, args, B, vdt, fn, layout, passes=passes)
 
 
-def _run_single(mat, args, B, vdt, fn, layout):
+def _run_single(mat, args, B, vdt, fn, layout, passes=1):
     """Generate X, validate against the column-wise serial oracle,
-    slope-bench, and report — shared by the ranked and packed paths."""
+    slope-bench, and report — shared by the ranked and packed paths.
+
+    passes: how many times the slab traffic is actually streamed (the
+    column-chunked windowed path re-reads the operator per B' chunk),
+    so the roofline denominator amortizes over B/passes columns, not
+    B."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -227,8 +230,9 @@ def _run_single(mat, args, B, vdt, fn, layout):
         nnz=mat.nnz * B,  # one SpMM moves nnz*B FMAs
     )
     print(res.summary(), end="")
-    # Per-nnz slab traffic amortizes over B columns; x/y traffic doesn't.
-    bytes_per_val = layout.hbm_bytes / max(mat.nnz, 1) / B
+    # Per-nnz slab traffic amortizes over B/passes columns; x/y
+    # traffic doesn't.
+    bytes_per_val = layout.hbm_bytes * passes / max(mat.nnz, 1) / B
     roof = roofline_nnzs(bytes_per_val)
     print(
         f"vals/s: {res.gnnzs * 1e9:.4g} "
