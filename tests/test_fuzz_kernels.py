@@ -117,3 +117,44 @@ def test_rectangular_kernels_agree():
         ),
     ):
         assert _rel(np.asarray(mk()), y_ref) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "name,mat", _cases(), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_spmm_kernels_agree(name, mat):
+    """spmm_ranked / spmm_packed vs column-wise oracle on every fuzz
+    case where the layouts build (B=5: odd, exercises the masked
+    sub-VREG column path and non-divisible column chunking)."""
+    from tpu_spmv.formats.packed import PackedRanked
+    from tpu_spmv.formats.sell import RankedSlabs
+    from tpu_spmv.kernels.spmm import spmm_packed, spmm_ranked
+    from tpu_spmv.reorder.rcm import rcm
+
+    B = 5
+    mat = mat.permuted(rcm(mat.indptr, mat.indices))
+    X = np.random.default_rng(1).standard_normal((mat.n, B)).astype(
+        np.float32
+    )
+    Xj = jnp.asarray(X)
+    ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
+    ran = {}
+    for bins in (0, 4):
+        try:
+            lay = RankedSlabs.from_csr(mat, bin_blocks=bins)
+        except ValueError:
+            continue
+        ran[f"spmm_ranked_w{bins}"] = np.asarray(
+            spmm_ranked(lay, Xj, interpret=True)
+        )
+    for bins in (0, 4):
+        try:
+            lay = PackedRanked.from_csr(mat, bin_blocks=bins)
+        except ValueError:
+            continue
+        ran[f"spmm_packed_w{bins}"] = np.asarray(
+            spmm_packed(lay, Xj, interpret=True)
+        )
+    assert ran, f"{name}: no SpMM layout built"
+    for kname, Y in ran.items():
+        assert _rel(Y, ref) < 1e-6, (name, kname)
