@@ -65,7 +65,9 @@ def main():
                 from tpu_spmv.formats.packed import PackedRanked
                 from tpu_spmv.kernels.packed import spmv_packed as _spk
 
-                layout = PackedRanked.from_csr(mat)
+                layout = PackedRanked.from_csr(
+                    mat, bin_blocks=max(plan.bin_blocks, 0)
+                )
                 fn = functools.partial(_spk, interpret=interp)
             else:
                 layout = RankedSlabs.from_csr(mat, bin_blocks=plan.bin_blocks)
@@ -116,7 +118,7 @@ def main():
         from tpu_spmv.formats.packed import PackedRanked
         from tpu_spmv.kernels.packed import spmv_packed
 
-        pk = PackedRanked.from_csr(mat)
+        pk = PackedRanked.from_csr(mat, bin_blocks=max(plan.bin_blocks, 0))
         spmv_packed = functools.partial(spmv_packed, interpret=interp)
         y_p = np.asarray(spmv_packed(pk, xj))
         w_p, r_p = validate(y_p, y_oracle)
@@ -145,7 +147,10 @@ def main():
                 from tpu_spmv.formats.packed import PackedRanked
                 from tpu_spmv.kernels.packed import spmv_packed as _pf
 
-                bf_lay = PackedRanked.from_csr(mat, val_dtype=jnp.bfloat16)
+                bf_lay = PackedRanked.from_csr(
+                    mat, val_dtype=jnp.bfloat16,
+                    bin_blocks=max(plan.bin_blocks, 0),
+                )
                 bf_fn = functools.partial(_pf, interpret=interp)
             else:
                 bf_lay = RankedSlabs.from_csr(
