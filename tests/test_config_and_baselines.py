@@ -212,3 +212,27 @@ def test_clone_layout_and_device_bytes():
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
             assert la is not lb
         assert device_bytes(lay) == device_bytes(cl) > 0
+
+
+def test_calibration_foreign_cache_does_not_shadow(tmp_path, monkeypatch):
+    """A cache file calibrated on a DIFFERENT device kind must not
+    shadow later candidates (review r5): kernel_calibration keeps
+    looking until it finds a non-empty entry for the current kind."""
+    import json
+
+    import tpu_spmv.hw as hw
+
+    foreign = tmp_path / "cache.json"
+    foreign.write_text(json.dumps({"not-this-kind": {"ranked_fixed": 1.0}}))
+    repo = tmp_path / "repo.json"
+    repo.write_text(json.dumps(
+        {hw.device_spec().kind: {"ranked_fixed": 7.5}}
+    ))
+    monkeypatch.delenv("TPU_SPMV_CALIB", raising=False)
+    monkeypatch.setattr(
+        "os.path.expanduser", lambda p: str(foreign)
+    )
+    monkeypatch.setattr(
+        "os.path.join", lambda *a: str(repo)
+    )
+    assert hw.kernel_calibration() == {"ranked_fixed": 7.5}

@@ -334,3 +334,39 @@ def test_sweep_rcm_tristate(tmp_path, capsys):
     assert "planner keeps natural order" in capsys.readouterr().out
     rows = list(csv.DictReader(open(out)))
     assert rows and int(rows[0]["num_wrong"]) == 0
+
+
+def test_sweep_packed_fallback_labels_row(tmp_path):
+    """When PackedRanked raises (packed-delta overflow) the sweep runs
+    the ranked layout and must record kernel='packed>ranked', not
+    'packed' (review r5); a resumed sweep skips the row either way."""
+    import csv
+
+    import numpy as np
+
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.io import write_mtx
+    from tpu_spmv.tools import sweep
+
+    # Small but WIDE scattered matrix: 384 rows x 50k columns, 4
+    # entries/row — sub-tile block spans far exceed the packed-delta
+    # range (256 blocks) so PackedRanked raises, while the binned
+    # ranked fallback builds fine. Tiny nnz keeps interpret mode fast.
+    rng = np.random.default_rng(7)
+    rows = np.repeat(np.arange(384), 4)
+    cols = rng.integers(0, 50_000, size=rows.size)
+    mat = CSRMatrix.from_coo(rows, cols, np.ones(rows.size, np.float32),
+                             (384, 50_000))
+    p = tmp_path / "wide.mtx"
+    write_mtx(str(p), mat)
+    out = tmp_path / "s.csv"
+    argv = ["--out", str(out), "--matrices", str(p), "--kernels",
+            "packed", "--k", "1", "--srs", "16", "--rcm", "never",
+            "--bin-blocks", "2"]
+    sweep.main(argv)
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == 1 and rows[0]["kernel"] == "packed>ranked", rows
+    assert rows[0]["num_wrong"] == "0"
+    before = open(out).read()
+    sweep.main(argv)  # resume: the fallback-keyed row must be skipped
+    assert open(out).read() == before

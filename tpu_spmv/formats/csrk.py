@@ -45,8 +45,17 @@ class CSRkMatrix:
         return self.maps[level - 1]
 
     def set_x(self, x: np.ndarray) -> np.ndarray:
-        """Permute x into the matrix ordering (CSRk_Graph::setX, csrk.h:327)."""
-        return np.asarray(x, dtype=np.float32)[self.perm]
+        """Permute x into the matrix ordering (CSRk_Graph::setX, csrk.h:327).
+
+        The permutation is symmetric (columns relabeled with rows) only
+        for square matrices; rectangular inputs relabel rows only, so x
+        (which lives in column space, length n != m) passes through
+        unchanged — indexing it by the m-length row perm would silently
+        TRUNCATE it (review r5, found via the wide-matrix sweep test)."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.shape[0] != self.perm.shape[0]:
+            return x
+        return x[self.perm]
 
     def unpermute_y(self, y: np.ndarray) -> np.ndarray:
         """Scatter a result computed in permuted order back to original order."""
