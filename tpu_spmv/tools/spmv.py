@@ -237,6 +237,16 @@ def main(argv=None):
     import functools
     if kernel == "sell":
         layout = build_or_load(SellSlabs)
+        from tpu_spmv.kernels.pallas_sell import resident_x_fits
+
+        if not resident_x_fits(layout):
+            # No HBM-windowed sell variant exists; an explicit request
+            # is honored but the Mosaic compile will likely reject the
+            # resident x — say why before it does (review r5).
+            print("warning: x exceeds the VMEM residency budget and "
+                  "the sell kernel has no HBM-windowed variant — "
+                  "expect a VMEM compile error; use --kernel ranked "
+                  "(windowed/striped fallbacks) or --kernel striped")
         fn = functools.partial(spmv_sell, interpret=interp)
         bytes_per_nnz = layout.hbm_bytes / max(mat.nnz, 1)
     elif kernel == "ranked":
