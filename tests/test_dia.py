@@ -105,3 +105,17 @@ def test_dia_rejects_non_stencil():
     )
     with pytest.raises(ValueError, match="square"):
         DiaSlabs.from_csr(sub)
+
+
+def test_dia_rejects_empty_matrix():
+    """Zero-nnz input passes the d/fill admission gates but the kernels
+    cannot form guard windows over an empty offsets tuple (review r5):
+    from_csr must reject it like any not-diagonal-structured matrix."""
+    import pytest
+
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.formats.dia import DiaSlabs
+
+    empty = CSRMatrix.from_coo([], [], [], (256, 256))
+    with pytest.raises(ValueError):
+        DiaSlabs.from_csr(empty)

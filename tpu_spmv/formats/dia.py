@@ -129,6 +129,12 @@ class DiaSlabs:
         accuracy contract as RankedSlabs.from_csr."""
         if mat.m != mat.n:
             raise ValueError("DIA layout requires a square matrix")
+        if mat.nnz == 0:
+            # Zero diagonals passes both admission gates below but the
+            # kernels cannot form their guard windows over an empty
+            # offsets tuple (review r5): reject like any other
+            # not-diagonal-structured input.
+            raise ValueError("DIA layout requires a non-empty matrix")
         m = mat.m
         rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
         offs_all = mat.indices.astype(np.int64) - rows

@@ -44,8 +44,11 @@ def _make_dia_kernel(offsets: tuple, rb: int, glo: int, interpret: bool):
         # pltpu.roll rejects negative shifts (Mosaic requirement). Both
         # branches share the shift CONSTANT, so interpret-mode tests pin
         # it — but they run jnp.roll, not the Mosaic lowering of
-        # pltpu.roll; direction parity of the two ops is verified
-        # separately (tests/test_dia.py).
+        # pltpu.roll. Direction parity of the two ops cannot be unit-
+        # tested (pltpu.roll has no interpret path); it is pinned by
+        # the on-chip validation runs instead — every dia sweep row has
+        # unaligned arms (lap2d offsets +-1 -> s=1/127) and validates
+        # wrong=0 against the serial oracle (results/sweep_*_r5.csv).
         shift = (LANES - s) % LANES
         if interpret:
             return jnp.roll(a, shift, axis=1)
@@ -124,6 +127,12 @@ def spmv_dia(layout: DiaSlabs, x: jax.Array, interpret: bool = False) -> jax.Arr
     return y.reshape(-1)[: layout.m]
 
 
+# NOTE: the guard-window setup (qbs/glo/ghi/x padding) appears in
+# spmv_dia, spmv_dia_windowed, and dia_x_fits, and the roll-blend
+# accumulate body in both kernel makers — deliberate specializations
+# (the windowed variant re-bases x windows at 0). Any change to the
+# ghi formula or the single-roll blend must be mirrored; the fuzz and
+# dia suites run both kernels on the same matrices.
 def _make_dia_windowed_kernel(offsets: tuple, rb: int, glo: int,
                               win_w: int, num_tiles: int, interpret: bool):
     """HBM-windowed DIA kernel: x stays in HBM; each grid step DMAs its
@@ -194,6 +203,18 @@ def spmv_dia_windowed(
     glo = max(0, -min(qbs))
     ghi = max(max(qbs) + 2, 1)
     win_w = glo + rb + ghi
+    # The double-buffered x window lives in Mosaic's scoped VMEM
+    # (16 MB): far-flung diagonal offsets make glo/ghi — and thus the
+    # scratch — arbitrarily large, which would surface as an opaque
+    # Mosaic compile error. Refuse with the actual reason (review r5).
+    if 2 * win_w * LANES * 4 > 12 * 2**20:
+        raise ValueError(
+            f"windowed DIA x-window is {win_w} blocks "
+            f"({2 * win_w * LANES * 4 / 2**20:.0f} MB double-buffered),"
+            f" beyond the VMEM scratch budget — the diagonal offsets "
+            f"span too far; use a gather kernel (ranked/striped) for "
+            f"this structure"
+        )
     # Padded x in HBM: window t covers blocks [t*rb, t*rb + win_w) of
     # the padded array; real x starts at block glo.
     n_blocks = glo + nb + ghi
@@ -239,18 +260,25 @@ def spmv_dia_windowed(
 
 def dia_x_fits(layout: DiaSlabs, budget_frac: float = 0.5) -> bool:
     """True when the resident kernel's VMEM working set (padded x + the
-    double-buffered diagonal tiles + y tile) fits budget_frac of VMEM."""
+    double-buffered diagonal tiles + y tile) fits budget_frac of VMEM.
+
+    The tile terms scale with rows_per_tile, which is a free knob —
+    charging them at the LAYOUT's tile would flip this check on
+    wide-diagonal matrices whose x fits trivially, sending callers to
+    the windowed kernel (which pays the same tile terms) instead of
+    shrinking the tile (review r5). Budget the tiles at the smallest
+    admissible tile (1024 rows) and leave tile sizing to the kernel."""
     from tpu_spmv.kernels.pallas_sell import VMEM_BYTES
 
     qbs = [_split_offset(o)[0] for o in layout.offsets]
     glo = max(0, -min(qbs))
     ghi = max(max(qbs) + 2, 1)
     n_pad = (glo + layout.num_blocks + ghi) * LANES
-    rb = layout.rows_per_tile // LANES
-    tiles = 2 * layout.num_diagonals * rb * LANES * (
+    rb_min = 1024 // LANES
+    tiles = 2 * layout.num_diagonals * rb_min * LANES * (
         layout.vals.dtype.itemsize
     )
-    y_tiles = 2 * rb * LANES * 4
+    y_tiles = 2 * rb_min * LANES * 4
     return 4 * n_pad + tiles + y_tiles <= budget_frac * VMEM_BYTES()
 
 

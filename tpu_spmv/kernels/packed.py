@@ -143,7 +143,16 @@ def _make_packed_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
     """Grouped-window packed kernel: G absolute bases per sub-tile from
     SMEM (one load per group per pair-step — the 15-28% win over the
     8-load packed-delta unpack, see _make_grouped_kernel) combined with
-    the mixed-height segmented epilogue of _make_packed_kernel."""
+    the mixed-height segmented epilogue of _make_packed_kernel.
+
+    NOTE: the gather loop and the segmented-reduce/carry epilogue are
+    deliberate per-variant specializations of _make_packed_kernel's
+    (Mosaic codegen is sensitive to indirection here); any fix to the
+    bmeta decode, emit condition, carry handoff, or sel/pair gather
+    MUST be mirrored in _make_packed_kernel AND the two spmm_packed
+    variants (kernels/spmm.py _make_spmm_packed_kernel). The fuzz
+    suite (tests/test_fuzz_kernels.py) runs all of them on the same
+    matrices and catches one-sided edits."""
     subs_per_tile = tile_k // SUBLANES
     G = max(groups) + 1
     npairs = max((rank_nb + 1) // 2, 1)
