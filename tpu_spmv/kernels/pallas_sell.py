@@ -91,7 +91,10 @@ def resident_x_fits(layout, budget_frac: float = 0.5, batch: int = 1) -> bool:
         reads_nb, getattr(layout, "max_nb", 1)
     ) * LANES
     lcol_bytes = getattr(layout, "lcols", layout.vals).dtype.itemsize
-    tile_k = getattr(layout, "tile_k", 512) or 512
+    # SellSlabs carries no tile_k; spmv_sell picks up to 2048 sublanes
+    # at call time (pick_tile_k), so budget the worst case — the old
+    # 512 default undercounted the tile working set 4x (review r5).
+    tile_k = getattr(layout, "tile_k", 2048) or 2048
     tiles = 2 * tile_k * LANES * (4 + lcol_bytes)
     partials = 2 * (tile_k // SUBLANES) * LANES * 4 * batch
     return 4 * n_pad * batch + tiles + partials <= budget_frac * VMEM_BYTES()
@@ -385,6 +388,12 @@ def _make_ranked_kernel(tile_k: int, rank_nb: int, loop: bool = False):
     return kernel
 
 
+# NOTE: the paired (2,128) window-load + dual-gather + sel-select body
+# appears in _make_ranked_kernel, _make_grouped_kernel, and
+# _make_windowed_kernel — deliberate per-variant specializations (only
+# the window-load expression differs, but Mosaic codegen is sensitive
+# to indirection). Any fix to the select/accumulate logic must be
+# mirrored in all three; the fuzz suite runs them on shared matrices.
 def _make_grouped_kernel(tile_k: int, rank_nb: int, groups: tuple,
                          loop: bool = False):
     """Grouped-window rank kernel: sublanes sharing a window (static map
@@ -629,7 +638,13 @@ def _make_windowed_kernel(tile_k: int, rank_nb: int, win_w: int,
                 vals * acc, axis=0, keepdims=True
             )
 
-        _sub_loop(subs_per_tile, rank_nb + 1, body, force_loop=loop)
+        # 2*npairs matches the resident kernel's and pad_up_tile's
+        # charge — rank_nb+1 overcharged even ranks by one step and
+        # could drop a budget-sized tile into blocked-fori (review r5).
+        _sub_loop(
+            subs_per_tile, 2 * max((rank_nb + 1) // 2, 1), body,
+            force_loop=loop,
+        )
 
     return kernel
 

@@ -33,11 +33,7 @@ import numpy as np
 
 from tpu_spmv.formats.csr import CSRMatrix
 from tpu_spmv.formats.sell import LANES, RankedSlabs
-from tpu_spmv.kernels.pallas_sell import spmv_ranked
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from tpu_spmv.kernels.pallas_sell import _round_up, spmv_ranked
 
 
 def default_stripe_cols() -> int:
@@ -105,7 +101,7 @@ class StripedRanked:
     @property
     def hbm_bytes(self) -> int:
         return (
-            self.vals.size * 4
+            self.vals.size * self.vals.dtype.itemsize
             + self.lcols.size * self.lcols.dtype.itemsize
             + 4 * (self.n + self.num_stripes * self.m)
             + self.sub_b0.size * LANES * 4
@@ -171,10 +167,12 @@ class StripedRanked:
         num_chunks = stripes[0].num_chunks
         rank_nb = max(s.rank_nb for s in stripes)
         tile_k = min(s.tile_k for s in stripes)
-        lcol_dtype = (
-            np.int32
-            if any(np.asarray(s.lcols).dtype == np.int32 for s in stripes)
-            else np.int16
+        # Widest ACTUAL stripe dtype — forcing >= int16 silently gave
+        # back the uint8 column-traffic win on all-W<=2 stripe stacks
+        # (review r5).
+        lcol_dtype = max(
+            (np.asarray(s.lcols).dtype for s in stripes),
+            key=lambda d: d.itemsize,
         )
         # Padding sub-tiles: chunk id num_chunks (dropped by the
         # segment-sum), window base 0 (in-bounds; vals 0 keep it inert).
