@@ -433,3 +433,52 @@ def test_spmm_overlap_matches_oracle():
     Y = np.asarray(spmm_overlap(lay, Xj, mesh))[: mat.m]
     Y_ref = np.stack([mat.matvec(X[:, b]) for b in range(B)], axis=1)
     assert np.linalg.norm(Y - Y_ref) / np.linalg.norm(Y_ref) < 1e-6
+
+
+def test_sharded_ranked_uniform_tile_windowed_spmm():
+    """Shards with uneven densities make pad_up_tile pick different
+    grid tiles (1024 vs 512 here); the stacked windowed metadata is
+    per-tile, so the build must converge every shard to ONE tile or
+    the windowed kernel DMAs wrong x windows (review r5)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.dist.sharding import (
+        ShardedRanked, _slice_shard_blocks, make_row_mesh, spmm_sharded,
+    )
+    from tpu_spmv.formats.csr import CSRMatrix
+    from tpu_spmv.formats.sell import RankedSlabs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    m = 16384
+    rows, cols = [], []
+    for r in range(m):
+        deg = 30 if r < m // 2 else 4
+        c = np.unique(np.clip(r + rng.integers(-60, 61, size=deg), 0, m - 1))
+        rows.extend([r] * len(c))
+        cols.extend(c.tolist())
+    mat = CSRMatrix.from_coo(
+        rows, cols,
+        rng.standard_normal(len(rows)).astype(np.float32), (m, m),
+    )
+    blocks, _, _ = _slice_shard_blocks(mat, 2, "auto")
+    per_shard = {RankedSlabs.from_csr(b).tile_k for b in blocks}
+    assert len(per_shard) > 1, "construction no longer diverges tiles"
+
+    lay = ShardedRanked.build(mat, 2)
+    mesh = make_row_mesh(jax.devices()[:2])
+    lp = lay.device_put(mesh, "rows")
+    B = 2
+    X = rng.standard_normal((lay.padded_m, B)).astype(np.float32)
+    X[m:] = 0.0
+    Xj = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P("rows")))
+    Y = np.asarray(
+        spmm_sharded(lp, Xj, mesh, "rows", kernel="windowed")
+    )[:m]
+    ref = np.stack(
+        [mat.matvec(X[:m, b]) for b in range(B)], axis=1
+    )
+    rel = np.linalg.norm(Y - ref) / np.linalg.norm(ref)
+    assert rel < 1e-6, rel

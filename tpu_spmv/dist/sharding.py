@@ -59,7 +59,22 @@ def _slice_shard_blocks(mat: CSRMatrix, n_devices: int, halo: str):
     columns are pre-shifted into halo-window coordinates when the
     neighbor exchange applies (see ShardedSell docstring)."""
     m, n = mat.shape
-    rows_per_shard = _round_up(_round_up(m, n_devices) // n_devices, 8 * LANES)
+    rows_per_shard = _round_up(
+        _round_up(m, n_devices) // n_devices, SUBLANES * LANES
+    )
+
+    # The exchange carries x as (padded_m,) row-sharded pieces — the
+    # all-gather path reconstructs at most rows_per_shard * n_devices
+    # columns. A rectangular matrix with n beyond that would have its
+    # high columns silently ZEROED (review r5): refuse at build.
+    if n > rows_per_shard * n_devices:
+        raise ValueError(
+            f"distributed layouts carry x in row-sharded (padded_m,) "
+            f"pieces; n={n} exceeds padded_m="
+            f"{rows_per_shard * n_devices} and the high columns would "
+            f"be dropped — shard a square/narrower operator, or add "
+            f"devices"
+        )
 
     halo_rows = 0
     if halo != "never" and m == n and n_devices > 1:
@@ -393,36 +408,51 @@ class ShardedRanked:
         # the packed-delta encoding (shard-uniform by construction).
         # This recovers the 15-28% grouped-kernel win the r2 flagship
         # gave up (docs/PERF_NOTES.md grouped-window section).
-        shards = [
-            RankedSlabs.from_csr(
-                blocks[0], bin_blocks=bin_blocks,
-                allow_groups=allow_groups, val_dtype=val_dtype,
-            )
-        ]
-        plan = shards[0].group_members if shards[0].group_code else None
-        # Budget from the planning shard's paired-load extent: the
-        # stacked kernel runs at the max rank over shards, so siblings
-        # validate against shard 0's budget, not their own (a tail
-        # shard's locally narrower rank must not reject the plan).
-        r0 = shards[0].rank_nb
-        budget = 1 if r0 == 1 else 2 * max((r0 + 1) // 2, 1)
-        try:
-            for block in blocks[1:]:
-                shards.append(
-                    RankedSlabs.from_csr(
-                        block, bin_blocks=bin_blocks,
-                        allow_groups=False, group_plan=plan,
-                        group_plan_budget=budget, val_dtype=val_dtype,
-                    )
-                )
-        except ValueError:
-            shards = [
+        def build_all(tile=None):
+            kw = {} if tile is None else {"tile_k": tile}
+            built = [
                 RankedSlabs.from_csr(
-                    block, bin_blocks=bin_blocks, allow_groups=False,
-                    val_dtype=val_dtype,
+                    blocks[0], bin_blocks=bin_blocks,
+                    allow_groups=allow_groups, val_dtype=val_dtype, **kw,
                 )
-                for block in blocks
             ]
+            plan = built[0].group_members if built[0].group_code else None
+            # Budget from the planning shard's paired-load extent: the
+            # stacked kernel runs at the max rank over shards, so
+            # siblings validate against shard 0's budget, not their own
+            # (a tail shard's locally narrower rank must not reject the
+            # plan).
+            r0 = built[0].rank_nb
+            budget = 1 if r0 == 1 else 2 * max((r0 + 1) // 2, 1)
+            try:
+                for block in blocks[1:]:
+                    built.append(
+                        RankedSlabs.from_csr(
+                            block, bin_blocks=bin_blocks,
+                            allow_groups=False, group_plan=plan,
+                            group_plan_budget=budget, val_dtype=val_dtype,
+                            **kw,
+                        )
+                    )
+            except ValueError:
+                built = [
+                    RankedSlabs.from_csr(
+                        block, bin_blocks=bin_blocks, allow_groups=False,
+                        val_dtype=val_dtype, **kw,
+                    )
+                    for block in blocks
+                ]
+            return built
+
+        shards = build_all()
+        # Uneven shard densities make pad_up_tile pick different grid
+        # tiles; the stacked windowed metadata (tile_b0) is per-tile
+        # and every shard must share ONE granularity or the windowed
+        # kernels DMA wrong x windows (review r5). tile_k is a CAP
+        # (unroll safety depends on each shard's rank), so iterate to
+        # the fixed point — the min only decreases and bottoms at 512.
+        while len({s.tile_k for s in shards}) > 1:
+            shards = build_all(tile=min(s.tile_k for s in shards))
 
         total_k = max(int(s.vals.shape[0]) for s in shards)
         S = max(s.num_subtiles for s in shards)

@@ -170,8 +170,11 @@ class ShardedLowerSolve:
         b_pad = np.zeros(padded_m, np.float32)
         b_pad[pad_index] = np.asarray(b, np.float64) * inv_diag
 
-        order = np.argsort(rows_p * np.int64(padded_m) + cols_p, kind="stable")
-        rows_p, cols_p, vals = rows_p[order], cols_p[order], vals[order]
+        # (rows_p, cols_p) are already row-major with ascending
+        # columns: np.repeat keeps row order, pad_index is strictly
+        # increasing, and CSR row columns ascend — same invariant
+        # sts/solve.py relies on without sorting (review r5 removed a
+        # redundant O(nnz log nnz) argsort here).
 
         d_shards, o_shards = [], []
         for d in range(n_devices):
