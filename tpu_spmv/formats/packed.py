@@ -155,7 +155,20 @@ class PackedRanked:
         and the packed mixed heights remove the 8-sublane quantum that
         dominates their fill under RankedSlabs (r4: fem_1m W=2 fill
         4.16x quantized; the in-kernel carry emit also replaces the
-        segment-sum epilogue that was 44% of its SpMV time)."""
+        segment-sum epilogue that was 44% of its SpMV time).
+
+        Engagement limit (review r5): bin_blocks > 0 reuses
+        _binned_slots, whose <=255-block window-delta repair runs
+        on the QUANTIZED 8-slot groups — packed re-segments slabs
+        at kc granularity, so cross-chunk jumps on scattered
+        structure can exceed the packed-delta range and raise
+        here (callers fall back to RankedSlabs; every scattered
+        sweep row does this by design, results/scattered_r5.txt).
+        Repairing at packed granularity is the known extension.
+
+        NOTE: the window/delta/pad host build mirrors
+        RankedSlabs.from_csr (sell.py) — keep fixes in sync.
+        """
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
@@ -172,8 +185,12 @@ class PackedRanked:
         # amortization as RankedSlabs.from_csr.
         total_k = _round_up(int(koff[-1]), 512)
 
+        # int32 throughout: at high-fill irregular structure the padded
+        # (total_k, 128) temporaries dominate build memory, and int64
+        # doubles them for column ids that always fit 31 bits (same
+        # lesson as SellSlabs._host_build, review r5).
         vals = np.zeros((total_k, LANES), dtype=np.float32)
-        cols = np.full((total_k, LANES), -1, dtype=np.int64)
+        cols = np.full((total_k, LANES), -1, dtype=np.int32)
         rows = np.repeat(np.arange(m, dtype=np.int64), mat.row_lengths)
         dest_k = koff[rows // LANES] + ranks
         dest_l = rows % LANES
@@ -184,12 +201,12 @@ class PackedRanked:
         # RankedSlabs.from_csr — the window machinery never cared which
         # chunk a sublane belongs to.
         S = total_k // SUBLANES
-        units = np.where(cols >= 0, cols >> 7, np.iinfo(np.int64).max)
+        units = np.where(cols >= 0, cols >> 7, np.iinfo(np.int32).max)
         big = units.reshape(S, SUBLANES, LANES)
         sub_base = big.min(axis=2)
-        empty = sub_base == np.iinfo(np.int64).max
+        empty = sub_base == np.iinfo(np.int32).max
         tile_min = sub_base.min(axis=1)
-        tile_min[tile_min == np.iinfo(np.int64).max] = 0
+        tile_min[tile_min == np.iinfo(np.int32).max] = 0
         sub_base = np.where(empty, tile_min[:, None], sub_base)
 
         # Grouped absolute window bases (same machinery as RankedSlabs:
@@ -212,11 +229,12 @@ class PackedRanked:
             sub_base.reshape(-1), LANES
         ).reshape(total_k, LANES)
         lcols = np.where(real, cols - (base_cols << 7), 0)
-        rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
-        assert lcols.min() >= 0
+        lmax = int(lcols.max()) if S else 0
+        rank_nb = (lmax >> 7) + 1 if S else 1
+        if S and int(lcols.min()) < 0:
+            raise ValueError("window base exceeds its own entries")
         # uint8 when rank_nb <= 2 (see RankedSlabs.from_csr): 1B/slot
         # column indices on the irregular W<=2 binned classes.
-        lmax = int(lcols.max()) if S else 0
         lcols = lcols.astype(
             np.uint8 if lmax < 2**8
             else np.int16 if lmax < 2**15
@@ -254,7 +272,14 @@ class PackedRanked:
         b2 = np.zeros(S, dtype=np.int64)
         E = np.zeros(S, dtype=np.int64)
         np.add.at(E, s_of, 1)
-        assert E.max(initial=0) <= 2, "kc >= 4 bounds ends to 2"
+        if int(E.max(initial=0)) > 2:
+            # kc >= MIN_KC bounds chunk ends to two per 8-slot sub-tile;
+            # a third end would fold a chunk total into the carry
+            # SILENTLY — raise, never assert (review r5: -O strips
+            # asserts and this guards data corruption, not debugging).
+            raise ValueError(
+                ">2 chunk ends in one sub-tile (MIN_KC violated)"
+            )
         # First end's boundary -> b1; second -> b2 (else b2 = b1).
         b1[s_of[rank_in == 0]] = bpos[rank_in == 0]
         b2[:] = b1

@@ -219,7 +219,13 @@ def pick_tile_k(total_k: int, cap: int = 2048) -> int:
     for t in (cap, 2048, 1024, 512):
         if t <= cap and total_k % t == 0:
             return t
-    return min(cap, total_k)
+    # No standard tile divides (custom tile_k quanta): scan divisors
+    # down — a NON-divisor here truncated num_tiles and left tail
+    # partials uninitialized (review r5).
+    for t in range(min(cap, total_k), SUBLANES - 1, -SUBLANES):
+        if total_k % t == 0:
+            return t
+    return SUBLANES
 
 
 def pad_up_tile(total_k: int, cap: int, rank_nb: int, group_code: int) -> int:
@@ -654,6 +660,12 @@ class SellSlabs:
         mat: CSRMatrix, tile_k: int, align: bool, bin_blocks: int,
     ) -> dict:
         """Host/NumPy half of from_csr (no JAX calls)."""
+        if tile_k % SUBLANES:
+            # A non-8-multiple tile breaks every S = total_k//SUBLANES
+            # consumer far from here (review r5): fail fast.
+            raise ValueError(
+                f"tile_k must be a multiple of {SUBLANES}, got {tile_k}"
+            )
         m, n = mat.shape
         num_chunks = max(_round_up(m, LANES) // LANES, 1)
 
@@ -948,7 +960,11 @@ class RankedSlabs:
         np.copyto(c3, 0, where=~real3)
         lcols = cols
         rank_nb = (int(lcols.max()) >> 7) + 1 if S else 1
-        assert lcols.min() >= 0
+        if S and int(lcols.min()) < 0:
+            # Negative local columns mean a window base above its own
+            # entries — silent out-of-window gathers downstream, so
+            # raise (not assert: -O must not disable it, review r5).
+            raise ValueError("window base exceeds its own entries")
         # Local columns are window-relative and small: narrow storage
         # cuts the column-index HBM traffic (the kernel widens on load).
         # rank_nb <= 2 layouts (every W<=2 binned build) fit uint8 —
@@ -974,7 +990,7 @@ class RankedSlabs:
         sub_dhi = np.zeros(S, dtype=np.uint32)
         for r in range(4):
             sub_dlo |= deltas[:, r] << (8 * r)
-            sub_dhi |= deltas[:, r + 4] << (8 * (r + 4 - 4))
+            sub_dhi |= deltas[:, r + 4] << (8 * r)
         # Grid tile: pad total_k UP to the largest unroll-safe tile
         # (pad_up_tile; banded_1m W=4 ran 666 grid steps at the old 512
         # quantum). The pad rows are inert (val=0, lcols=0, chunk=dump)
