@@ -38,12 +38,8 @@ import numpy as np
 
 from tpu_spmv.formats.csr import CSRMatrix
 
-LANES = 128
-SUBLANES = 8
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def split_lu(mat: CSRMatrix) -> tuple[CSRMatrix, CSRMatrix]:
@@ -322,7 +318,6 @@ def build_sts(
             for c in range(num_coarse)
         ]
         perm_parts = []
-        pack_ptr = [0]
         labels_parts = []
         step_base = 0
         for p in range(cpack_ptr.shape[0] - 1):
@@ -339,8 +334,10 @@ def build_sts(
                 perm_parts.append(arr)
                 labels_parts.append(np.full(arr.size, step_base + s))
             step_base += len(rows_by_step)
-            pack_ptr.append(pack_ptr[-1] + sum(len(r) for r in rows_by_step))
-        # Steps are the real dependency packs for the solver.
+        # Steps are the real dependency packs for the solver (the
+        # per-coarse-pack boundaries are NOT the solver's packs —
+        # _packs_from_labels derives the real ones below, review r5
+        # removed a dead accumulator that suggested otherwise).
         csrk_perm = np.concatenate(perm_parts) if perm_parts else np.empty(0, np.int64)
         labels = np.concatenate(labels_parts) if labels_parts else np.empty(0, np.int64)
         # Map through the CSR-k permutation (csrk.matrix rows are already

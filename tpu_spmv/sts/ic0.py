@@ -97,13 +97,19 @@ def _build_ic0_systems(mat: CSRMatrix):
 
     L, bad = ic0_factor(mat)
     sys_l = build_sts(L, order_type="LS", sort_packs=False)
-    assert sys_l.lower.nnz == L.nnz
+    if sys_l.lower.nnz != L.nnz:
+        # nnz leaked to the upper split: the schedule did NOT preserve
+        # L's triangular structure — the preconditioner would silently
+        # solve a different operator (raise, never assert: -O strips
+        # asserts and this guards correctness, review r5).
+        raise ValueError("LS schedule failed to preserve L's structure")
     inv_l = np.argsort(sys_l.perm)
 
     U = CSRMatrix.from_scipy(sp.csr_matrix(L.to_scipy().T))
     mat_ru, rev = reversed_for_upper(U)
     sys_u = build_sts(mat_ru, order_type="LS", sort_packs=False)
-    assert sys_u.lower.nnz == U.nnz
+    if sys_u.lower.nnz != U.nnz:
+        raise ValueError("LS schedule failed to preserve U's structure")
     inv_u = np.argsort(sys_u.perm)
     return L, bad, sys_l, inv_l, rev, sys_u, inv_u
 
@@ -243,6 +249,31 @@ class ShardedIC0Preconditioner:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def device_put(self, mesh, axis="rows"):
+        # One-time placement (review r5): the two stacked solve layouts
+        # shard over the mesh via their own device_put; the five (m,)
+        # index maps are REPLICATED — they feed global gathers whose
+        # indices cross shards, so row-sharding them buys nothing and
+        # shard_layout's leading-dim rule cannot see through the nested
+        # layout children anyway.
+        import dataclasses as _dc
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        put = lambda a: jax.device_put(jnp.asarray(a), rep)
+        return _dc.replace(
+            self,
+            lay_l=self.lay_l.device_put(mesh, axis),
+            lay_u=self.lay_u.device_put(mesh, axis),
+            bl_gather=put(self.bl_gather),
+            bl_scatter=put(self.bl_scatter),
+            bu_gather=put(self.bu_gather),
+            bu_scatter=put(self.bu_scatter),
+            z_gather=put(self.z_gather),
+        )
 
     @classmethod
     def build(

@@ -49,7 +49,17 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LowerSolveLayout:
-    """Device arrays for the chunked lower solve."""
+    """Device arrays for the chunked lower solve.
+
+    Known cost characteristics (review r5): every pack pads to a
+    128-row chunk, so LS schedules with many tiny levels (long
+    dependency chains, e.g. near-tridiagonal L) inflate slab
+    storage/work by up to ~128x vs COLOR on the same matrix —
+    prefer COLOR ordering where the structure admits it. The
+    ranked fast-path search below also builds up to 4 full device
+    layouts and keeps one; a host-only pre-cost (shape_stats
+    style) would avoid 3 discarded device transfers.
+    """
 
     slabs: SellSlabs  # strict-L (scaled) over padded rows
     b_scale: jax.Array  # (num_chunks+1, 128) b * inv_diag, padded

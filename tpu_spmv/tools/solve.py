@@ -127,7 +127,9 @@ def main(argv=None):
                 ).device_put(mesh_d)
                 kind = "ic0-bj (block-Jacobi"
             else:
-                pre = ShardedIC0Preconditioner.build(mat, D, lay_d.padded_m)
+                pre = ShardedIC0Preconditioner.build(
+                    mat, D, lay_d.padded_m
+                ).device_put(mesh_d)
                 kind = "ic0 (distributed"
             print(f"{kind}, D={D}): rows={mat.m} "
                   f"breakdowns={pre.breakdowns}")
